@@ -1,0 +1,99 @@
+"""Bijectors with forward / inverse / log-det-Jacobian.
+
+The reference constrains its mean-field surrogates through TFP bijectors
+(``tfb.Softplus`` for positive params, ``tfb.Identity`` for real ones;
+reference: mederrata_spmf/poisson.py:215-224, bernoulli.py:185-194).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Bijector", "Identity", "Softplus", "Exp", "Chain"]
+
+
+class Bijector:
+    def forward(self, x):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def inverse(self, y):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def forward_log_det_jacobian(self, x):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def inverse_log_det_jacobian(self, y):
+        return -self.forward_log_det_jacobian(self.inverse(y))
+
+    def __call__(self, x):
+        return self.forward(x)
+
+
+class Identity(Bijector):
+    def forward(self, x):
+        return x
+
+    def inverse(self, y):
+        return y
+
+    def forward_log_det_jacobian(self, x):
+        return jnp.zeros_like(x)
+
+    def inverse_log_det_jacobian(self, y):
+        return jnp.zeros_like(y)
+
+
+class Softplus(Bijector):
+    """y = log(1 + e^x); d y/d x = sigmoid(x)."""
+
+    def forward(self, x):
+        return jax.nn.softplus(x)
+
+    def inverse(self, y):
+        # softplus^{-1}(y) = y + log(1 - e^{-y}), stable for y > 0
+        return y + jnp.log(-jnp.expm1(-y))
+
+    def forward_log_det_jacobian(self, x):
+        return jax.nn.log_sigmoid(x)
+
+    def inverse_log_det_jacobian(self, y):
+        # -log(sigmoid(softplus^{-1}(y))) = -(log(1 - e^{-y}))
+        return -jnp.log(-jnp.expm1(-y))
+
+
+class Exp(Bijector):
+    def forward(self, x):
+        return jnp.exp(x)
+
+    def inverse(self, y):
+        return jnp.log(y)
+
+    def forward_log_det_jacobian(self, x):
+        return x
+
+    def inverse_log_det_jacobian(self, y):
+        return -jnp.log(y)
+
+
+class Chain(Bijector):
+    """Apply bijectors right-to-left: Chain([f, g]).forward(x) = f(g(x))."""
+
+    def __init__(self, bijectors):
+        self.bijectors = list(bijectors)
+
+    def forward(self, x):
+        for b in reversed(self.bijectors):
+            x = b.forward(x)
+        return x
+
+    def inverse(self, y):
+        for b in self.bijectors:
+            y = b.inverse(y)
+        return y
+
+    def forward_log_det_jacobian(self, x):
+        total = jnp.zeros_like(x)
+        for b in reversed(self.bijectors):
+            total = total + b.forward_log_det_jacobian(x)
+            x = b.forward(x)
+        return total

@@ -1,0 +1,268 @@
+"""BayesianModel base class.
+
+Rebuild of ``bayesianquilts.model.BayesianModel`` (reference import:
+mederrata_spmf/poisson.py:15; behavioral surface documented in SURVEY.md
+§2.9): data binding, ``fit`` / ``calibrate_advi`` training entry points,
+``waic``, calibrated expectations, save / reconstitute.
+
+State model (TPU-first): all trainable state is the surrogate parameter
+pytree ``self.surrogate_params``; the model object holds only static
+configuration and normalization constants, so every compute path is a pure
+jittable function.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmf_tpu.config import canonical_dtype
+from spmf_tpu.data import as_data_factory
+from spmf_tpu.vi.minibatch import fit_surrogate_posterior
+from spmf_tpu.vi.waic import waic as _waic
+
+__all__ = ["BayesianModel", "BoundSurrogate"]
+
+
+class BoundSurrogate:
+    """View of (surrogate, current params) exposing the TFP-style ``sample``
+    used by reference notebooks (``factor.surrogate_distribution.sample(1000)``,
+    notebooks/factorizing_random_noise cell 11)."""
+
+    def __init__(self, model):
+        self._model = model
+        self._counter = 0
+
+    def sample(self, sample_shape=(), seed=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        if seed is None:
+            self._counter += 1
+            key = jax.random.PRNGKey(1000 + self._counter)
+        elif isinstance(seed, int):
+            key = jax.random.PRNGKey(seed)
+        else:
+            key = seed
+        return self._model._surrogate.sample(
+            self._model.surrogate_params, key, sample_shape
+        )
+
+    def sample_and_log_prob(self, sample_shape=(), seed=None):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        key = jax.random.PRNGKey(seed or 0)
+        return self._model._surrogate.sample_and_log_prob(
+            self._model.surrogate_params, key, sample_shape
+        )
+
+    @property
+    def variables(self):
+        return self._model.surrogate_params
+
+
+class BayesianModel:
+    def __init__(self, data=None, data_transform_fn=None, strategy=None,
+                 mesh=None, dtype=None):
+        # ``strategy`` kept for reference API parity (poisson.py:60) and
+        # ignored; the TPU-native replacement is ``mesh``.
+        self.strategy = strategy
+        self.mesh = mesh
+        self.dtype = canonical_dtype(dtype)
+        self.data = None
+        self.data_transform_fn = data_transform_fn
+        self._surrogate = None
+        self.surrogate_params = None
+        self.prior_distribution = None
+        self.calibrated_expectations = {}
+        self.var_list = []
+        if data is not None:
+            self.set_data(data, data_transform_fn)
+
+    # ------------------------------------------------------------------ data
+    def set_data(self, data, data_transform_fn=None, n=None):
+        self.data = as_data_factory(data)
+        self.data_transform_fn = data_transform_fn
+
+    # ----------------------------------------------------------------- model
+    def create_distributions(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def unormalized_log_prob(self, data=None, prior_weight=1.0, **params):
+        raise NotImplementedError  # pragma: no cover - abstract
+
+    def _energy(self, batch, samples, prior_weight):
+        return self.unormalized_log_prob(data=batch, prior_weight=prior_weight, **samples)
+
+    def _row_log_likelihood(self, batch, samples):
+        """Per-row (summed-over-features) log likelihood, for WAIC."""
+        raise NotImplementedError  # pragma: no cover - abstract
+
+    @property
+    def surrogate_distribution(self):
+        return BoundSurrogate(self)
+
+    @property
+    def surrogate_vars(self):
+        return self.surrogate_params
+
+    # -------------------------------------------------------------- training
+    def fit(
+        self,
+        batched_data_factory=None,
+        dataset_size: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        sample_size: int = 8,
+        sample_batches: int = 1,
+        num_steps: int = 100,
+        learning_rate: float = 0.1,
+        decay_rate: float = 0.99,
+        abs_tol: Optional[float] = None,
+        rel_tol: Optional[float] = 1e-4,
+        clip_value: float = 5.0,
+        patience: int = 3,
+        seed: int = 0,
+        checkpoint_dir: Optional[str] = None,
+        verbose: bool = True,
+        **kwargs,
+    ):
+        """Minibatch ADVI fit; returns the loss trace (reference call sites:
+        tests/spmf_test.py:35-43, bin/factorize_scrnaseq_counts.py:101-105)."""
+        factory = as_data_factory(batched_data_factory) or self.data
+        if factory is None:
+            raise ValueError("No data bound: pass batched_data_factory or set_data()")
+        result = fit_surrogate_posterior(
+            energy_fn=self._energy,
+            surrogate=self._surrogate,
+            params=self.surrogate_params,
+            batched_data_factory=factory,
+            dataset_size=dataset_size,
+            batch_size=batch_size,
+            sample_size=sample_size,
+            sample_batches=sample_batches,
+            num_steps=num_steps,
+            learning_rate=learning_rate,
+            decay_rate=decay_rate,
+            abs_tol=abs_tol,
+            rel_tol=rel_tol,
+            clip_value=clip_value,
+            patience=patience,
+            seed=seed,
+            dtype=self.dtype,
+            mesh=self.mesh,
+            checkpoint_dir=checkpoint_dir,
+            verbose=verbose,
+        )
+        self.surrogate_params = result.params
+        self.last_fit = result
+        self.set_calibration_expectations()
+        return result.losses
+
+    def calibrate_advi(
+        self,
+        num_steps: int = 100,
+        learning_rate: float = 0.1,
+        abs_tol: Optional[float] = None,
+        rel_tol: Optional[float] = 1e-4,
+        clip_value: float = 5.0,
+        sample_size: int = 8,
+        sample_batches: int = 1,
+        seed: int = 0,
+        verbose: bool = True,
+        **kwargs,
+    ):
+        """Train against the data bound at construction (reference:
+        bin/factorize_csv.py:121-124)."""
+        return self.fit(
+            batched_data_factory=self.data,
+            num_steps=num_steps,
+            learning_rate=learning_rate,
+            abs_tol=abs_tol,
+            rel_tol=rel_tol,
+            clip_value=clip_value,
+            sample_size=sample_size,
+            sample_batches=sample_batches,
+            seed=seed,
+            verbose=verbose,
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------- reporting
+    def waic(self, data=None, num_samples: int = 100, seed: int = 1):
+        """{'waic','se','lppd','pwaic'} over the bound dataset (reference
+        observed output: notebooks/factorizing_random_noise cell 9)."""
+        factory = as_data_factory(data) or self.data
+        if factory is None:
+            raise ValueError("No data bound for waic()")
+        return _waic(
+            self._row_log_likelihood,
+            self._surrogate,
+            self.surrogate_params,
+            factory,
+            num_samples=num_samples,
+            seed=seed,
+        )
+
+    def set_calibration_expectations(self, num_samples: int = 250, seed: int = 42):
+        self.calibrated_expectations = self._surrogate.mean(
+            self.surrogate_params, jax.random.PRNGKey(seed), num_samples
+        )
+
+    # ----------------------------------------------------------- persistence
+    def _config(self) -> dict:
+        """Static config needed to rebuild the model; overridden by models."""
+        return {}
+
+    def save(self, path: str):
+        """Persist config + surrogate params (dill-free replacement of the
+        reference's ``factor.save(filename)``, bin/factorize_csv.py:136-139)."""
+        flat, treedef = jax.tree_util.tree_flatten(self.surrogate_params)
+        arrays = {f"param_{i}": np.asarray(x) for i, x in enumerate(flat)}
+        # normalization constants
+        extras = {}
+        for name in ("eta_i", "xi_u_global"):
+            if hasattr(self, name):
+                extras[f"extra_{name}"] = np.asarray(getattr(self, name))
+        meta = {
+            "class": type(self).__name__,
+            "config": self._config(),
+            "treedef": jax.tree_util.tree_structure(self.surrogate_params).__repr__(),
+        }
+        np.savez(path, __meta__=json.dumps(meta), **arrays, **extras)
+
+    def load_params(self, path: str):
+        with np.load(path, allow_pickle=False) as zf:
+            flat = []
+            i = 0
+            while f"param_{i}" in zf:
+                flat.append(jnp.asarray(zf[f"param_{i}"], self.dtype))
+                i += 1
+            for name in ("eta_i", "xi_u_global"):
+                key = f"extra_{name}"
+                if key in zf:
+                    setattr(self, name, jnp.asarray(zf[key], self.dtype))
+        treedef = jax.tree_util.tree_structure(self.surrogate_params)
+        self.surrogate_params = jax.tree_util.tree_unflatten(treedef, flat)
+        self.set_calibration_expectations()
+
+    def reconstitute(self, state):
+        """Restore surrogate params from a state dict (reference:
+        poisson.py:711-717)."""
+        self.create_distributions()
+        if isinstance(state, dict) and "surrogate_vars" in state:
+            flat_now, treedef = jax.tree_util.tree_flatten(self.surrogate_params)
+            flat_new = [
+                jnp.asarray(v, self.dtype) for v in state["surrogate_vars"]
+            ]
+            if len(flat_new) != len(flat_now):
+                raise ValueError(
+                    f"State has {len(flat_new)} arrays, expected {len(flat_now)}"
+                )
+            self.surrogate_params = jax.tree_util.tree_unflatten(treedef, flat_new)
+        elif isinstance(state, dict):
+            self.surrogate_params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, self.dtype), state
+            )

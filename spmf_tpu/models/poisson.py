@@ -1,0 +1,430 @@
+"""Sparse (horseshoe+) Poisson matrix factorization — TPU-native rebuild.
+
+Reference: mederrata_spmf/poisson.py:25-717. Generative model for count rows
+x_i in N^D with latent dim K:
+
+    encoder   theta_i = g(x_i) @ A,  A = w1 * u   (w = s / colsum(s), w1 = w[0])
+    decoder   rate    = f(theta @ v) + phi,  phi = eta_i * w2 * w_intercept
+    x_ij ~ Poisson(rate_ij)
+
+with a horseshoe+ prior on the *encoding* loadings u and the split weights s
+(Makalic–Schmidt SqrtInverseGamma decomposition of the half-Cauchy scales,
+reference poisson.py:303-341).
+
+TPU notes: the energy is a pure function of (batch, samples); the hot ops are
+the (S,B,D)x(D,K) encode einsum, the (S,B,K)x(S,K,D) decode einsum and the
+fused Poisson log-prob + finite-mask + clip + row/feature reduction (see
+spmf_tpu.ops for the Pallas path). All shapes static under jit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spmf_tpu import bijectors as tfb
+from spmf_tpu import distributions as tfd
+from spmf_tpu.config import canonical_dtype
+from spmf_tpu.data import as_data_factory
+from spmf_tpu.models.base import BayesianModel
+from spmf_tpu.vi.surrogates import (
+    SurrogatePosterior,
+    TrainableInverseGamma,
+    TrainableNormal,
+    TransformedSurrogate,
+)
+
+__all__ = ["PoissonFactorization"]
+
+
+class PoissonFactorization(BayesianModel):
+    """Sparse (horseshoe) Poisson matrix factorization
+    (reference: mederrata_spmf/poisson.py:25)."""
+
+    s_tau_scale = 1.0
+
+    def encoder_function(self, x):
+        """g(x) (reference poisson.py:34-43)."""
+        x = jnp.asarray(x, self.dtype)
+        if self.log_transform:
+            return jnp.log(x / self.eta_i + 1.0)
+        return x / jnp.asarray(self.eta_i, self.dtype)
+
+    def decoder_function(self, x):
+        """f(x) = g^{-1}(x) (reference poisson.py:45-54)."""
+        x = jnp.asarray(x, self.dtype)
+        if self.log_transform:
+            return jnp.exp(x * self.eta_i) - 1.0
+        return x * jnp.asarray(self.eta_i, self.dtype)
+
+    def __init__(
+        self,
+        latent_dim=None,
+        feature_dim=None,
+        u_tau_scale=0.01,
+        s_tau_scale=1.0,
+        symmetry_breaking_decay=0.99,
+        strategy=None,
+        mesh=None,
+        encoder_function=None,
+        decoder_function=None,
+        scale_columns=True,
+        scale_rows=True,
+        log_transform=False,
+        horshoe_plus=True,
+        horseshoe_plus=None,
+        column_norms=None,
+        count_key="counts",
+        initialize_distributions=True,
+        dtype=None,
+        data=None,
+        **kwargs,
+    ):
+        """Mirrors the reference constructor signature (poisson.py:56-64),
+        including the ``horshoe_plus`` spelling (with a corrected alias).
+        ``strategy`` is accepted for parity; use ``mesh`` for TPU sharding."""
+        super().__init__(data=None, data_transform_fn=None, strategy=strategy,
+                         mesh=mesh, dtype=dtype)
+
+        self.scale_rows = scale_rows
+        self.scale_columns = scale_columns
+        self.horseshoe_plus = horshoe_plus if horseshoe_plus is None else horseshoe_plus
+        self.eta_i = jnp.ones((), self.dtype)
+        self.xi_u_global = jnp.ones((), self.dtype)
+        self._column_norms_given = column_norms is not None
+        if column_norms is not None:
+            self.eta_i = jnp.asarray(column_norms, self.dtype)
+        self.count_key = count_key
+
+        if encoder_function is not None:
+            self.encoder_function = encoder_function
+        if decoder_function is not None:
+            self.decoder_function = decoder_function
+        self.symmetry_breaking_decay = symmetry_breaking_decay
+        self.log_transform = log_transform
+
+        self.feature_dim = feature_dim
+        self.latent_dim = self.feature_dim if latent_dim is None else latent_dim
+
+        self.u_tau_scale = u_tau_scale
+        self.s_tau_scale = s_tau_scale
+
+        if data is not None:
+            self.set_data(data)
+        if initialize_distributions:
+            self.create_distributions()
+        print(f"Feature dim: {self.feature_dim} -> Latent dim {self.latent_dim}")
+
+    # ------------------------------------------------------------------ data
+    def _counts(self, data):
+        """Fetch the count matrix from a batch dict, tolerating both the
+        current 'counts' and legacy 'data' keys (reference staleness noted in
+        SURVEY.md §2.6: factorize_csv.py:195 vs :83-87)."""
+        if isinstance(data, dict):
+            if self.count_key in data:
+                return data[self.count_key]
+            for k in ("counts", "data"):
+                if k in data:
+                    return data[k]
+            raise KeyError(f"No count key in batch: {list(data)}")
+        return data
+
+    def compute_scales(self, data_factory=None, compute_normalization=True, n=None):
+        """One full pass for column stats -> eta_i, xi_u_global
+        (reference poisson.py:113-154)."""
+        factory = as_data_factory(data_factory) or self.data
+        if not (self.scale_columns and compute_normalization):
+            return
+        print("Looping through the entire dataset once to get some stats")
+        colsums = None
+        col_nonzero = None
+        n_rows = 0
+        for batch in factory():
+            x = np.asarray(self._counts(batch), np.float64)
+            colsums = x.sum(0, keepdims=True) + (0 if colsums is None else colsums)
+            nz = (x > 0).sum(0, keepdims=True)
+            col_nonzero = nz + (0 if col_nonzero is None else col_nonzero)
+            n_rows += x.shape[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            colmeans_nonzero = colsums / col_nonzero
+        rowmean_nonzero = np.nansum(colmeans_nonzero)
+        self.eta_i = jnp.asarray(
+            np.where(colmeans_nonzero > 1, colmeans_nonzero, 1.0), self.dtype
+        )
+        if self.scale_rows:
+            self.xi_u_global = jnp.asarray(rowmean_nonzero, self.dtype)
+        else:
+            self.xi_u_global = jnp.ones((), self.dtype)
+
+    def set_data(self, data, data_transform_fn=None, n=None,
+                 compute_normalization=None):
+        super().set_data(data, data_transform_fn)
+        if compute_normalization is None:
+            # skip the stats pass when explicit column_norms were provided
+            compute_normalization = not self._column_norms_given
+        self.compute_scales(self.data, compute_normalization=compute_normalization)
+
+    # ----------------------------------------------------------- model parts
+    def encoding_matrix(self, u=None, s=None):
+        """A = w1 * u (reference poisson.py:652-666)."""
+        u = self.calibrated_expectations["u"] if u is None else u
+        s = self.calibrated_expectations["s"] if s is None else s
+        weights = s / jnp.sum(s, axis=-2, keepdims=True)
+        weights_1 = weights[..., 0, :, None]  # (..., D, 1)
+        return weights_1 * u  # (..., D, K)
+
+    def decoding_matrix(self, v=None):
+        """B = v (reference poisson.py:668-678)."""
+        return self.calibrated_expectations["v"] if v is None else v
+
+    def intercept_matrix(self, w=None, s=None):
+        """phi = eta_i * w2 * w, shape (..., 1, D)
+        (reference poisson.py:680-701)."""
+        w = self.calibrated_expectations["w"] if w is None else w
+        s = self.calibrated_expectations["s"] if s is None else s
+        weights = s / jnp.sum(s, axis=-2, keepdims=True)
+        weights_2 = weights[..., 1:2, :]  # (..., 1, D)
+        return jnp.asarray(self.eta_i, self.dtype) * weights_2 * w
+
+    def encode(self, x, u=None, s=None):
+        """theta = g(x) @ A, optional row scaling (reference poisson.py:623-650)."""
+        u = self.calibrated_expectations["u"] if u is None else u
+        s = self.calibrated_expectations["s"] if s is None else s
+        x = jnp.asarray(x, self.dtype)
+        encoding = self.encoding_matrix(u, s)
+        z = jnp.matmul(self.encoder_function(x), encoding)
+        if self.scale_rows:
+            xi_u = jnp.sum(x, axis=-1, keepdims=True) / self.xi_u_global
+            z = z * xi_u
+        return z
+
+    def log_likelihood_components(self, s, u, v, w, data, **kwargs):
+        """Pointwise Poisson log-likelihood + rate (reference poisson.py:156-184)."""
+        x = self._counts(data)
+        theta_u = self.encode(x, u, s)                       # (..., B, K)
+        phi = self.intercept_matrix(w, s)                    # (..., 1, D)
+        B = self.decoding_matrix(v)                          # (..., K, D)
+        theta_beta = jnp.matmul(theta_u, B)                  # (..., B, D)
+        rate = self.decoder_function(theta_beta) + phi
+        rv = tfd.Poisson(rate=rate)
+        return {
+            "log_likelihood": rv.log_prob(jnp.asarray(x, self.dtype)),
+            "rate": rate,
+        }
+
+    def predictive_distribution(self, s, u, v, w, data, **kwargs):
+        """Sample-reduced predictive log-likelihood.
+
+        NOTE divergence from reference: poisson.py:204-208 reduces a key
+        ``'ll'`` that is never set (KeyError whenever u has sample dims);
+        we reduce ``'log_likelihood'``, which is the evident intent."""
+        prediction = self.log_likelihood_components(s=s, u=u, v=v, w=w, data=data)
+        reduce_dim = jnp.ndim(u) - 2
+        if reduce_dim > 0:
+            prediction["log_likelihood"] = jnp.sum(
+                prediction["log_likelihood"],
+                axis=tuple(range(reduce_dim)),
+            )
+        return prediction
+
+    # ------------------------------------------------------------ prior etc.
+    def create_distributions(self):
+        """Build prior joint + trainable surrogate (reference poisson.py:212-573)."""
+        D, K = self.feature_dim, self.latent_dim
+        dt = self.dtype
+        ones = lambda *shape: jnp.ones(shape, dt)
+        zeros = lambda *shape: jnp.zeros(shape, dt)
+
+        self.bijectors = {
+            k: tfb.Softplus()
+            for k in ("u", "v", "u_eta", "u_tau", "s", "s_eta", "s_tau", "w")
+        }
+        decay = jnp.asarray(
+            self.symmetry_breaking_decay, dt
+        ) ** jnp.arange(K, dtype=dt)[None, :]
+
+        dist = {
+            "v": tfd.Independent(tfd.HalfNormal(scale=0.1 * ones(K, D)), 2),
+            "w": tfd.Independent(tfd.HalfNormal(scale=ones(1, D)), 2),
+        }
+        if self.horseshoe_plus:
+            dist.update(
+                u=lambda u_eta, u_tau: tfd.Independent(
+                    tfd.HalfNormal(scale=u_eta * u_tau * decay), 2
+                ),
+                u_eta=lambda u_eta_a: tfd.Independent(
+                    tfd.SqrtInverseGamma(0.5 * ones(D, K), 1.0 / u_eta_a), 2
+                ),
+                u_eta_a=tfd.Independent(
+                    tfd.InverseGamma(0.5 * ones(D, K), ones(D, K)), 2
+                ),
+                u_tau=lambda u_tau_a: tfd.Independent(
+                    tfd.SqrtInverseGamma(0.5 * ones(1, K), 1.0 / u_tau_a), 2
+                ),
+                u_tau_a=tfd.Independent(
+                    tfd.InverseGamma(0.5 * ones(1, K), ones(1, K) / self.u_tau_scale**2), 2
+                ),
+                s=lambda s_eta, s_tau: tfd.Independent(
+                    tfd.HalfNormal(scale=s_eta * s_tau), 2
+                ),
+                s_eta=lambda s_eta_a: tfd.Independent(
+                    tfd.SqrtInverseGamma(0.5 * ones(2, D), 1.0 / s_eta_a), 2
+                ),
+                s_eta_a=tfd.Independent(
+                    tfd.InverseGamma(0.5 * ones(2, D), ones(2, D)), 2
+                ),
+                s_tau=lambda s_tau_a: tfd.Independent(
+                    tfd.SqrtInverseGamma(0.5 * ones(1, D), 1.0 / s_tau_a), 2
+                ),
+                s_tau_a=tfd.Independent(
+                    tfd.InverseGamma(0.5 * ones(1, D), ones(1, D) / self.s_tau_scale**2), 2
+                ),
+            )
+            self.bijectors["u_eta_a"] = tfb.Softplus()
+            self.bijectors["u_tau_a"] = tfb.Softplus()
+            self.bijectors["s_eta_a"] = tfb.Softplus()
+            self.bijectors["s_tau_a"] = tfb.Softplus()
+        else:
+            dist.update(
+                u=tfd.Independent(
+                    tfd.AbsHorseshoe(scale=self.u_tau_scale * decay * ones(D, K)), 2
+                ),
+                s=tfd.Independent(
+                    tfd.AbsHorseshoe(scale=self.s_tau_scale * ones(1, D)), 2
+                ),
+            )
+
+        self.prior_distribution = tfd.JointDistributionNamed(dist)
+
+        sur = {
+            "v": TransformedSurrogate(
+                TrainableNormal(-6.0 * ones(K, D), 5e-4 * ones(K, D), 2),
+                self.bijectors["v"],
+            ),
+            "w": TransformedSurrogate(
+                TrainableNormal(-6.0 * ones(1, D), 5e-4 * ones(1, D), 2),
+                self.bijectors["w"],
+            ),
+        }
+        if self.horseshoe_plus:
+            sur.update(
+                u=TransformedSurrogate(
+                    TrainableNormal(-6.0 * ones(D, K), 5e-4 * ones(D, K), 2),
+                    self.bijectors["u"],
+                ),
+                u_eta=TransformedSurrogate(
+                    TrainableInverseGamma(3.0 * ones(D, K), ones(D, K), 2),
+                    self.bijectors["u_eta"],
+                ),
+                u_tau=TransformedSurrogate(
+                    TrainableInverseGamma(3.0 * ones(1, K), ones(1, K), 2),
+                    self.bijectors["u_tau"],
+                ),
+                s_eta=TransformedSurrogate(
+                    TrainableInverseGamma(ones(2, D), ones(2, D), 2),
+                    self.bijectors["s_eta"],
+                ),
+                s_tau=TransformedSurrogate(
+                    TrainableInverseGamma(ones(1, D), ones(1, D), 2),
+                    self.bijectors["s_tau"],
+                ),
+                s=TransformedSurrogate(
+                    TrainableNormal(
+                        ones(2, D) * jnp.asarray([[-2.0], [-1.0]], dt),
+                        1e-3 * ones(2, D),
+                        2,
+                    ),
+                    self.bijectors["s"],
+                ),
+                u_eta_a=TransformedSurrogate(
+                    TrainableInverseGamma(2.0 * ones(D, K), ones(D, K), 2),
+                    self.bijectors["u_eta_a"],
+                ),
+                u_tau_a=TransformedSurrogate(
+                    TrainableInverseGamma(
+                        2.0 * ones(1, K), ones(1, K) / self.u_tau_scale**2, 2
+                    ),
+                    self.bijectors["u_tau_a"],
+                ),
+                s_eta_a=TransformedSurrogate(
+                    TrainableInverseGamma(2.0 * ones(2, D), ones(2, D), 2),
+                    self.bijectors["s_eta_a"],
+                ),
+                s_tau_a=TransformedSurrogate(
+                    TrainableInverseGamma(
+                        2.0 * ones(1, D), ones(1, D) / self.s_tau_scale**2, 2
+                    ),
+                    self.bijectors["s_tau_a"],
+                ),
+            )
+        else:
+            sur.update(
+                s=TransformedSurrogate(
+                    TrainableNormal(
+                        ones(2, D) * jnp.asarray([[-2.0], [-1.0]], dt),
+                        1e-3 * ones(2, D),
+                        2,
+                    ),
+                    self.bijectors["s"],
+                ),
+                u=TransformedSurrogate(
+                    TrainableNormal(-9.0 * ones(D, K), 5e-4 * ones(D, K), 2),
+                    self.bijectors["u"],
+                ),
+            )
+
+        self._surrogate = SurrogatePosterior(sur)
+        self.surrogate_params = self._surrogate.init()
+        self.var_list = list(sur.keys())
+        self.set_calibration_expectations()
+
+    # ---------------------------------------------------------------- energy
+    def unormalized_log_prob_parts(self, data, prior_weight=1.0, **params):
+        """Energy parts (reference poisson.py:582-621): weighted prior parts,
+        HalfNormal(1) prior on theta ('z'), finite-masked / clipped Poisson
+        log-likelihood summed over features+rows ('x')."""
+        prior_parts = self.prior_distribution.log_prob_parts(params)
+        prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
+        ll = self.log_likelihood_components(data=data, **params)["log_likelihood"]
+
+        theta = self.encode(self._counts(data), params["u"], params["s"])
+        rv_theta = tfd.Independent(tfd.HalfNormal(scale=jnp.ones_like(theta)), 2)
+        prior_parts["z"] = rv_theta.log_prob(theta)
+
+        finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
+        min_val = jnp.min(finite) - 10.0
+        ll = jnp.clip(ll, min_val, 0.0)
+        ll = jnp.where(jnp.isfinite(ll), ll, min_val)
+        prior_parts["x"] = jnp.sum(ll, axis=(-1, -2))
+        return prior_parts
+
+    def unormalized_log_prob(self, data=None, prior_weight=1.0, **params):
+        # NOTE: the reference hard-codes prior_weight=1. when forwarding to
+        # the parts function (poisson.py:577) — reproduced for loss parity.
+        parts = self.unormalized_log_prob_parts(data, prior_weight=1.0, **params)
+        out = 0.0
+        for v in parts.values():
+            out = out + v
+        return out
+
+    def unormalized_log_prob_list(self, *x):
+        """Positional-args wrapper (reference poisson.py:703-709)."""
+        return self.unormalized_log_prob(**dict(zip(self.var_list, x)))
+
+    def _row_log_likelihood(self, batch, samples):
+        ll = self.log_likelihood_components(data=batch, **samples)["log_likelihood"]
+        return jnp.sum(ll, axis=-1)  # (S, B)
+
+    def _config(self):
+        return {
+            "latent_dim": self.latent_dim,
+            "feature_dim": self.feature_dim,
+            "u_tau_scale": float(self.u_tau_scale),
+            "s_tau_scale": float(self.s_tau_scale),
+            "symmetry_breaking_decay": float(self.symmetry_breaking_decay),
+            "scale_columns": bool(self.scale_columns),
+            "scale_rows": bool(self.scale_rows),
+            "log_transform": bool(self.log_transform),
+            "horseshoe_plus": bool(self.horseshoe_plus),
+            "count_key": self.count_key,
+        }

@@ -1,0 +1,235 @@
+"""Minibatch stochastic ADVI engine.
+
+Rebuild of ``bayesianquilts.vi.minibatch.fit_surrogate_posterior`` (reference
+import: mederrata_spmf/gaussian.py:24) and the ``BayesianModel.fit`` /
+``calibrate_advi`` training loop, whose behavior is documented from recorded
+notebook outputs (SURVEY.md §2.9):
+
+- per-epoch average / last batch loss reporting,
+- "checkpoint" save on every improving epoch,
+- plateau detection -> learning-rate decay (x0.99) + best-checkpoint restore,
+- rel_tol / abs_tol / num_steps stopping,
+- returns the loss trace.
+
+TPU-first design: the inner step is a single jitted function
+(sample -> energy -> entropy -> grad -> clip -> Adam update); when a
+``jax.sharding.Mesh`` is supplied, batches are sharded over the ``dp`` axis
+and parameters replicated, letting XLA insert the gradient ``psum`` over ICI.
+"""
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["FitResult", "fit_surrogate_posterior"]
+
+
+@dataclass
+class FitResult:
+    params: Any
+    losses: List[float]
+    learning_rate: float
+    opt_state: Any = None
+    checkpoint_path: Optional[str] = None
+    converged: bool = False
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+
+def _device_batch(batch, dtype, mesh, data_axis="dp"):
+    """Move a dict batch to device, optionally sharded rows-over-mesh."""
+    out = {}
+    for k, v in batch.items():
+        arr = jnp.asarray(v)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = arr.astype(dtype)
+        if mesh is not None and arr.ndim >= 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(data_axis, *([None] * (arr.ndim - 1)))
+            arr = jax.device_put(arr, NamedSharding(mesh, spec))
+        out[k] = arr
+    return out
+
+
+def _snapshot(tree):
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+
+def _restore(tree_np):
+    return jax.tree_util.tree_map(jnp.asarray, tree_np)
+
+
+def fit_surrogate_posterior(
+    energy_fn: Callable,  # (batch_dict, samples_dict, prior_weight) -> (S,) log-prob
+    surrogate,            # SurrogatePosterior
+    params,               # surrogate parameter pytree
+    batched_data_factory: Callable,  # () -> iterable of dict batches
+    dataset_size: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    sample_size: int = 8,
+    sample_batches: int = 1,
+    num_steps: int = 100,
+    learning_rate: float = 0.1,
+    decay_rate: float = 0.99,
+    abs_tol: Optional[float] = None,
+    rel_tol: Optional[float] = 1e-4,
+    clip_value: float = 5.0,
+    patience: int = 3,
+    convergence_window: int = 8,
+    seed: int = 0,
+    dtype=jnp.float32,
+    mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    verbose: bool = True,
+    opt_state=None,
+) -> FitResult:
+    """Run minibatch ADVI. See module docstring for reproduced semantics.
+
+    The per-row displayed loss is -ELBO / rows-in-batch with the ELBO
+    estimated by ``sample_size`` x ``sample_batches`` reparameterized
+    samples: mean_s[ energy(batch, z_s) - log q(z_s) ].
+    ``prior_weight = batch_size / dataset_size`` is forwarded to the energy
+    (the Poisson/Bernoulli reference models deliberately ignore it —
+    reference poisson.py:577 quirk — the Gaussian model honours it).
+    """
+    say = print if verbose else (lambda *a, **k: None)
+
+    prior_weight = 1.0
+    if dataset_size is not None and batch_size is not None:
+        prior_weight = float(batch_size) / float(dataset_size)
+
+    optimizer = optax.inject_hyperparams(
+        lambda lr: optax.chain(optax.clip(clip_value), optax.adam(lr))
+    )(lr=learning_rate)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(p, o, key, batch):
+        def loss_fn(p_):
+            total = 0.0
+            for k in jax.random.split(key, sample_batches):
+                samples, logq = surrogate.sample_and_log_prob(p_, k, (sample_size,))
+                lp = energy_fn(batch, samples, prior_weight)
+                total = total + jnp.mean(lp - logq)
+            rows = next(iter(batch.values())).shape[0]
+            return -(total / sample_batches) / rows
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, loss
+
+    @jax.jit
+    def eval_loss(p, key, batch):
+        samples, logq = surrogate.sample_and_log_prob(p, key, (sample_size,))
+        lp = energy_fn(batch, samples, prior_weight)
+        rows = next(iter(batch.values())).shape[0]
+        return -jnp.mean(lp - logq) / rows
+
+    rng = jax.random.PRNGKey(seed)
+
+    ckpt_path = None
+    run_id = str(uuid.uuid4())
+    if checkpoint_dir is not None:
+        ckpt_path = os.path.join(checkpoint_dir, run_id)
+        os.makedirs(ckpt_path, exist_ok=True)
+
+    def save_ckpt(tree_np, tag):
+        if ckpt_path is None:
+            return None
+        flat, treedef = jax.tree_util.tree_flatten(tree_np)
+        path = os.path.join(ckpt_path, f"{run_id}-{tag}.npz")
+        np.savez(path, *flat)
+        return path
+
+    # Initial loss on the first batch (reference prints "Initial loss: ...")
+    first_batch = next(iter(batched_data_factory()))
+    rng, k0 = jax.random.split(rng)
+    initial_loss = float(eval_loss(params, k0, _device_batch(first_batch, dtype, mesh)))
+    say(f"Initial loss: {initial_loss}")
+
+    losses: List[float] = [initial_loss]
+    best_loss = initial_loss
+    best_params = _snapshot(params)
+    best_opt_state = _snapshot(opt_state)
+    lr = learning_rate
+    stall = 0
+    converged = False
+
+    for epoch in range(1, num_steps + 1):
+        batch_losses = []
+        for batch in batched_data_factory():
+            rng, k = jax.random.split(rng)
+            params, opt_state, loss = step(
+                params, opt_state, k, _device_batch(batch, dtype, mesh)
+            )
+            batch_losses.append(loss)
+        batch_losses = [float(l) for l in batch_losses]
+        epoch_loss = float(np.mean(batch_losses))
+        losses.append(epoch_loss)
+        say(
+            f"Epoch {epoch}: average-batch loss: {epoch_loss} "
+            f"last batch loss: {batch_losses[-1]}"
+        )
+
+        if not np.isfinite(epoch_loss):
+            # divergence: restore best and decay hard (reference recovers
+            # via its plateau-restore path)
+            say(f"Non-finite loss; restoring from a checkpoint - loss: {best_loss}")
+            params = _restore(best_params)
+            opt_state = _restore(best_opt_state)
+            lr *= 0.5
+            opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+            continue
+
+        if epoch_loss < best_loss:
+            best_loss = epoch_loss
+            best_params = _snapshot(params)
+            best_opt_state = _snapshot(opt_state)
+            stall = 0
+            path = save_ckpt(best_params, epoch)
+            if path is not None:
+                say(f"Saved a checkpoint: {path}")
+        else:
+            stall += 1
+
+        if stall >= patience:
+            lr *= decay_rate
+            say(f"We are in a loss plateau learning rate: {lr} loss: {epoch_loss}")
+            say(f"Restoring from a checkpoint - loss: {best_loss}")
+            params = _restore(best_params)
+            opt_state = _restore(best_opt_state)
+            opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+            stall = 0
+
+        # rel/abs-tol convergence over a trailing window of epoch losses
+        if len(losses) > convergence_window:
+            window = losses[-convergence_window:]
+            spread = max(window) - min(window)
+            if rel_tol is not None and spread < rel_tol * abs(window[-1]):
+                converged = True
+            if abs_tol is not None and spread < abs_tol:
+                converged = True
+            if converged:
+                say(f"Converged (window spread {spread:.3e}); stopping at epoch {epoch}")
+                break
+
+    # hand back the best parameters (matches reference restore-best behavior)
+    params = _restore(best_params)
+    return FitResult(
+        params=params,
+        losses=losses,
+        learning_rate=lr,
+        opt_state=opt_state,
+        checkpoint_path=ckpt_path,
+        converged=converged,
+    )
