@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Benchmark: ELBO training-step throughput (rows/sec/chip).
+
+Headline config follows BASELINE.json's scRNA-seq target: wide count matrix
+(D=20000 genes), latent dim 32, minibatch 1024 rows, 8 ELBO samples —
+the full jitted ADVI step (surrogate sample -> energy -> grad -> clip ->
+adam) of the flagship PoissonFactorization model, float32 on the TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: ratio to the same jitted step executed on this host's CPU
+(recorded once in BENCH_BASELINE.json). The reference implementation is
+TF-eager float64 on CPU; our jitted JAX-CPU step is strictly faster than
+that, so vs_baseline *understates* the true advantage over the reference.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+D, P, B, S = 20000, 32, 1024, 8
+WARMUP, ITERS = 3, 20
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def build_step(model, optimizer, batch_rows):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    surrogate = model._surrogate
+
+    def train_step(params, opt_state, key, batch):
+        def loss_fn(p):
+            samples, logq = surrogate.sample_and_log_prob(p, key, (S,))
+            lp = model.unormalized_log_prob(data=batch, **samples)
+            return -jnp.mean(lp - logq) / batch_rows
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step
+
+
+def measure(device_kind: str, iters: int) -> float:
+    """rows/sec of the jitted train step on the current default backend."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spmf_tpu import PoissonFactorization
+
+    rng = np.random.default_rng(0)
+    X = rng.poisson(1.0, size=(B, D)).astype(np.float32)
+    model = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
+        dtype="float32", scale_columns=False,
+    )
+    optimizer = optax.chain(optax.clip(5.0), optax.adam(0.01))
+    opt_state = optimizer.init(model.surrogate_params)
+    step = jax.jit(build_step(model, optimizer, B), donate_argnums=(0, 1))
+
+    batch = {"counts": jnp.asarray(X), "indices": jnp.arange(B)}
+    params = model.surrogate_params
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k, batch)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k, batch)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(loss)), f"non-finite loss on {device_kind}"
+    return B * iters / dt
+
+
+def get_cpu_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["cpu_rows_per_sec"]
+    # measure once on the CPU backend in a subprocess (the axon/TPU plugin
+    # owns the default backend in-process)
+    import subprocess
+
+    code = (
+        "import jax, json;"
+        "jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r});"
+        "import bench;"
+        "v = bench.measure('cpu', 2);"
+        f"json.dump({{'cpu_rows_per_sec': v, 'config': dict(D={D}, P={P}, B={B}, S={S}),"
+        "'note': 'jitted JAX step on 1-core host CPU; faster stand-in for the "
+        "reference TF-eager f64 CPU loop'}, "
+        f"open({BASELINE_FILE!r}, 'w'))"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3000)
+    with open(BASELINE_FILE) as f:
+        return json.load(f)["cpu_rows_per_sec"]
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    tpu_rows = measure(jax.default_backend(), ITERS)
+    try:
+        baseline = get_cpu_baseline()
+        vs = tpu_rows / baseline
+    except Exception:
+        baseline, vs = None, None
+    print(json.dumps({
+        "metric": "elbo_train_rows_per_sec_per_chip",
+        "value": round(tpu_rows, 1),
+        "unit": f"rows/sec (D={D}, P={P}, batch={B}, samples={S}, f32)",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Train PMF on a CSV-formatted count matrix.
+
+Rebuild of the reference packaged CLI (reference: bin/factorize_csv.py:20-204;
+flag surface documented in README.md:40-62). Same flags, same outputs
+(encoding CSV, saved model, PDF figure, per-row representation CSV), running
+against the spmf_tpu backend.
+"""
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spmf_tpu import PoissonMatrixFactorization  # noqa: E402
+from spmf_tpu.data import ArrayDataset, load_csv_counts  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train PMF on CSV-formatted count matrix")
+    parser.add_argument("-f", "--csv-file", nargs="?", type=str,
+                        help="Enter the CSV file")
+    parser.add_argument("-e", "--epoch", nargs="?", type=int, default=300,
+                        help="Enter Epoch value: Default: 300")
+    parser.add_argument("-d", "--dimension", nargs="?", type=int, default=2,
+                        help="Enter embedding dimension. Default: 2")
+    parser.add_argument("-b", "--batch-size", nargs="?", type=int, default=5000,
+                        help="Enter batch size. Default: 5000")
+    parser.add_argument("-lr", "--learning-rate", nargs="?", type=float,
+                        default=0.01, help="Enter float. Default: 0.01")
+    parser.add_argument("-c", "--clip-value", nargs="?", type=float, default=3.0,
+                        help="Gradient clip value. Default: 3.0")
+    parser.add_argument("-lt", "--log-transform", action="store_true",
+                        help="Log-transform?")
+    parser.add_argument("-rn", "--row-normalize", action="store_true",
+                        help="Row normalize based on counts?")
+    args = parser.parse_args(sys.argv[1:])
+
+    if args.csv_file is None:
+        sys.exit("You need to specify a csv file")
+    elif not os.path.exists(args.csv_file):
+        sys.exit("File doesn't exist")
+
+    X = load_csv_counts(args.csv_file)
+    N, columns = X.shape
+    colmeans = X.mean(axis=0, keepdims=True)
+    rowmean = colmeans.sum()
+
+    tensors = {"indices": np.arange(N), "counts": X}
+    if args.row_normalize:
+        tensors["normalization"] = np.maximum(X.sum(axis=1), 1.0) / rowmean
+    data = ArrayDataset(tensors).batch(args.batch_size, drop_remainder=True)
+
+    factor = PoissonMatrixFactorization(
+        data,
+        latent_dim=args.dimension,
+        strategy=None,
+        scale_columns=True,
+        log_transform=args.log_transform,
+        column_norms=colmeans,
+        u_tau_scale=1.0 / np.sqrt(columns * N),
+    )
+
+    factor.calibrate_advi(
+        num_steps=args.epoch,
+        rel_tol=1e-4,
+        clip_value=args.clip_value,
+        learning_rate=args.learning_rate,
+    )
+
+    base = f"{args.csv_file}_{args.dimension}D"
+    suffix = f"lt_{args.log_transform}_rn_{args.row_normalize}"
+
+    print("Saving the encoding matrix")
+    with open(f"{base}_encoding_{suffix}.csv", "w") as f:
+        writer = csv.writer(f)
+        encoding = np.asarray(factor.encoding_matrix()).T
+        for row in range(encoding.shape[0]):
+            writer.writerow(encoding[row, :])
+
+    print("Saving the trained model object")
+    factor.save(f"{base}_model_{suffix}.npz")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        print("Saving figure with the encodings")
+        fig, ax = plt.subplots(1, 2, figsize=(14, 8))
+        pcm = ax[0].imshow(np.asarray(factor.encoding_matrix())[::-1, :],
+                           vmin=0, cmap="Blues")
+        ax[0].set_ylabel("item")
+        ax[0].set_xlabel("factor dimension")
+        fig.colorbar(pcm, ax=ax[0], orientation="vertical")
+
+        samples = factor.surrogate_distribution.sample(250)
+        s = np.asarray(samples["s"])
+        weights = s / s.sum(-2, keepdims=True)
+        intercept = (
+            np.squeeze(np.asarray(samples["w"]), -2)
+            * weights[:, -1, :]
+            * np.asarray(factor.eta_i).reshape(1, -1)
+        )
+        lo, mid, hi = np.percentile(intercept, [2.5, 50, 97.5], axis=0)
+        ax[1].errorbar(mid, np.arange(columns),
+                       xerr=[mid - lo, hi - mid], fmt="o", markersize=3)
+        ax[1].set_xlabel("background rate")
+        ax[1].axvline(1.0, linestyle="dashed", color="black")
+        ax[1].set_title("95% CI")
+        plt.savefig(f"{base}_encoding_{suffix}.pdf", bbox_inches="tight")
+    except ImportError:
+        print("matplotlib not available; skipping figure")
+
+    print("Generating representations")
+    with open(f"{base}_representation_{suffix}.csv", "w") as f:
+        writer = csv.writer(f)
+        for record in ArrayDataset(tensors).batch(args.batch_size):
+            z = np.asarray(factor.encode(record["counts"]))
+            if args.row_normalize:
+                z = z * record["normalization"][:, None]
+            ind = record["indices"]
+            for row in range(z.shape[0]):
+                writer.writerow(np.concatenate([[ind[row]], z[row, :]]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Factorize a preprocessed scRNA-seq count matrix.
+
+Rebuild of reference bin/factorize_scrnaseq_counts.py:25-293: loads the
+``*_counts.npy`` / ``*_genenames.npy`` / ``*_UMAP*.npy`` triplet produced by
+preprocess_scrnaseq_counts.py, fits PoissonMatrixFactorization
+(latent_dim=3, log_transform, column norms, u_tau_scale=1/sqrt(D*N)),
+exports U/V/W/Z + derived scores as .npy, renders figures.
+"""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spmf_tpu import PoissonMatrixFactorization  # noqa: E402
+from spmf_tpu.data import ArrayDataset  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datapath", default=".", help="directory with the npy triplet")
+    ap.add_argument("--dataset", default="pbmc3k")
+    ap.add_argument("-d", "--dimension", type=int, default=3)
+    ap.add_argument("-b", "--batch-size", type=int, default=256)
+    ap.add_argument("-e", "--num-steps", type=int, default=500)
+    ap.add_argument("-lr", "--learning-rate", type=float, default=0.01)
+    ap.add_argument("-c", "--clip-value", type=float, default=10.0)
+    ap.add_argument("--no-figures", action="store_true")
+    args = ap.parse_args()
+
+    datapath = os.path.join(args.datapath, "")
+    name = args.dataset
+    X = np.load(datapath + name + "_counts.npy")
+    gene_names = np.load(datapath + name + "_genenames.npy", allow_pickle=True)
+    umap_path = datapath + name + "_UMAP_scanpy.npy"
+    UMAP = np.load(umap_path) if os.path.exists(umap_path) else None
+
+    P = args.dimension
+    N, D = X.shape
+    BATCH_SIZE = args.batch_size
+    print(X.shape)
+    print(
+        f"Total observations={N}, Batch size={BATCH_SIZE}: "
+        f"dropping {N % BATCH_SIZE} observations."
+    )
+
+    # row/col size factors via median-normalized sums
+    # (reference factorize_scrnaseq_counts.py:48-65)
+    after = np.median(np.asarray(X.sum(1)))
+    row_size_factors = X.sum(1) / after
+    col_norm = X.mean(0)
+    row_norm = row_size_factors
+
+    data = (
+        ArrayDataset(
+            {"data": X, "indices": np.arange(N), "normalization": row_size_factors}
+        )
+        .shuffle(buffer_size=N)
+        .batch(BATCH_SIZE, drop_remainder=True)
+    )
+
+    factor = PoissonMatrixFactorization(
+        data,
+        latent_dim=P,
+        strategy=None,
+        scale_rates=True,
+        column_norms=col_norm,
+        log_transform=True,
+        u_tau_scale=1.0 / np.sqrt(D * N),
+    )
+
+    losses = factor.calibrate_advi(
+        num_steps=args.num_steps,
+        learning_rate=args.learning_rate,
+        abs_tol=1e-3,
+        rel_tol=1e-3,
+        clip_value=args.clip_value,
+    )
+
+    U = np.asarray(factor.encoding_matrix())
+    W = np.asarray(factor.intercept_matrix())
+    intercept_score = W * col_norm[np.newaxis, :]
+    Z = np.asarray(factor.encode(X))
+    cell_score = Z * row_norm[:, np.newaxis]
+    V = np.asarray(factor.decoding_matrix())
+    gene_score = V * col_norm[np.newaxis, :]
+
+    np.save(datapath + name + f"_U_{P}.npy", U)
+    np.save(datapath + name + f"_V_{P}.npy", V)
+    np.save(datapath + name + f"_W_{P}.npy", W)
+    np.save(datapath + name + f"_Z_{P}.npy", Z)
+    np.save(datapath + name + f"_cellscore_{P}.npy", cell_score)
+    np.save(datapath + name + f"_genescore_{P}.npy", gene_score)
+    np.save(datapath + name + f"_interceptscore_{P}.npy", intercept_score)
+    np.save(datapath + name + f"_losses_{P}.npy", np.asarray(losses))
+
+    if args.no_figures:
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping figures")
+        return
+
+    # gene-score heatmap of top genes per factor
+    # (reference factorize_scrnaseq_counts.py:145-232)
+    top = min(25, D)
+    order = np.argsort(-gene_score.max(0))[:top]
+    fig, ax = plt.subplots(figsize=(10, 6))
+    im = ax.imshow(gene_score[:, order], aspect="auto", cmap="Blues")
+    ax.set_xticks(np.arange(top))
+    ax.set_xticklabels([str(g) for g in gene_names[order]], rotation=90, fontsize=6)
+    ax.set_ylabel("factor")
+    fig.colorbar(im, ax=ax)
+    plt.savefig(datapath + name + f"_genescores_{P}.pdf", bbox_inches="tight")
+    plt.close(fig)
+
+    if UMAP is not None:
+        fig, axes = plt.subplots(1, P, figsize=(4 * P, 4))
+        axes = np.atleast_1d(axes)
+        for j in range(P):
+            sc = axes[j].scatter(
+                UMAP[:, 0], UMAP[:, 1], c=cell_score[:, j], s=2, cmap="viridis"
+            )
+            axes[j].set_title(f"factor {j}")
+            fig.colorbar(sc, ax=axes[j])
+        plt.savefig(datapath + name + f"_UMAP_scores_{P}.pdf", bbox_inches="tight")
+        plt.close(fig)
+
+    fig, ax = plt.subplots()
+    ax.plot(losses)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("avg batch loss")
+    plt.savefig(datapath + name + f"_losses_{P}.pdf", bbox_inches="tight")
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

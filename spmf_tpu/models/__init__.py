@@ -1,4 +1,17 @@
 from .base import BayesianModel
 from .poisson import PoissonFactorization
+from .bernoulli import BernoulliFactorization
+from .gaussian import GaussianFactorization
+from .mixed import MixedFactorization
+from .autoencoder import PoissonAutoencoder
+from .legacy import PoissonMatrixFactorization
 
-__all__ = ["BayesianModel", "PoissonFactorization"]
+__all__ = [
+    "BayesianModel",
+    "PoissonFactorization",
+    "BernoulliFactorization",
+    "GaussianFactorization",
+    "MixedFactorization",
+    "PoissonAutoencoder",
+    "PoissonMatrixFactorization",
+]

@@ -207,8 +207,14 @@ class BayesianModel:
         )
 
     def set_calibration_expectations(self, num_samples: int = 250, seed: int = 42):
-        self.calibrated_expectations = self._surrogate.mean(
-            self.surrogate_params, jax.random.PRNGKey(seed), num_samples
+        # jitted once per model: op-by-op eager sampling is compile-bound
+        if getattr(self, "_jit_mean_nsamples", None) != num_samples:
+            self._jit_mean = jax.jit(
+                lambda p, k: self._surrogate.mean(p, k, num_samples)
+            )
+            self._jit_mean_nsamples = num_samples
+        self.calibrated_expectations = self._jit_mean(
+            self.surrogate_params, jax.random.PRNGKey(seed)
         )
 
     # ----------------------------------------------------------- persistence

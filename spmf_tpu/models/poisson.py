@@ -129,6 +129,18 @@ class PoissonFactorization(BayesianModel):
             raise KeyError(f"No count key in batch: {list(data)}")
         return data
 
+    def _next_batch(self):
+        """Pull the next batch from the bound dataset when the energy is
+        called without data (reference gaussian.py:616-622 dataset_cycler)."""
+        if self.data is None:
+            raise ValueError("No data bound and none passed to the energy")
+        it = getattr(self, "_dataset_cycler", None)
+        if it is None:
+            from itertools import cycle
+
+            self._dataset_cycler = it = cycle(self.data())
+        return next(it)
+
     def compute_scales(self, data_factory=None, compute_normalization=True, n=None):
         """One full pass for column stats -> eta_i, xi_u_global
         (reference poisson.py:113-154)."""
@@ -198,15 +210,26 @@ class PoissonFactorization(BayesianModel):
             z = z * xi_u
         return z
 
+    def _observation_distribution(self, rate):
+        """Decoder likelihood family hook — Poisson here; Bernoulli/Normal/
+        mixed decoders override (reference poisson.py:178, bernoulli.py:148)."""
+        return tfd.Poisson(rate=rate)
+
+    def _theta_prior_log_prob(self, theta):
+        """Prior on the encoded representation ('z' energy part) — HalfNormal(1)
+        here (reference poisson.py:597-604); Gaussian model uses Normal(0,1)."""
+        rv = tfd.Independent(tfd.HalfNormal(scale=jnp.ones_like(theta)), 2)
+        return rv.log_prob(theta)
+
     def log_likelihood_components(self, s, u, v, w, data, **kwargs):
-        """Pointwise Poisson log-likelihood + rate (reference poisson.py:156-184)."""
+        """Pointwise decoder log-likelihood + rate (reference poisson.py:156-184)."""
         x = self._counts(data)
         theta_u = self.encode(x, u, s)                       # (..., B, K)
         phi = self.intercept_matrix(w, s)                    # (..., 1, D)
         B = self.decoding_matrix(v)                          # (..., K, D)
         theta_beta = jnp.matmul(theta_u, B)                  # (..., B, D)
         rate = self.decoder_function(theta_beta) + phi
-        rv = tfd.Poisson(rate=rate)
+        rv = self._observation_distribution(rate)
         return {
             "log_likelihood": rv.log_prob(jnp.asarray(x, self.dtype)),
             "rate": rate,
@@ -228,30 +251,74 @@ class PoissonFactorization(BayesianModel):
         return prediction
 
     # ------------------------------------------------------------ prior etc.
+    # --- model-family hooks (overridden by Bernoulli / Gaussian / Mixed) ---
+    #: signed encoder loadings: Normal/Horseshoe + Identity bijector instead
+    #: of HalfNormal/AbsHorseshoe + Softplus (reference gaussian.py:228-272)
+    _u_signed = False
+
+    def _vw_bijectors(self):
+        return {"v": tfb.Softplus(), "w": tfb.Softplus()}
+
+    def _vw_priors(self, ones):
+        D, K = self.feature_dim, self.latent_dim
+        return {
+            "v": tfd.Independent(tfd.HalfNormal(scale=0.1 * ones(K, D)), 2),
+            "w": tfd.Independent(tfd.HalfNormal(scale=ones(1, D)), 2),
+        }
+
+    def _vw_surrogates(self, ones):
+        D, K = self.feature_dim, self.latent_dim
+        return {
+            "v": TransformedSurrogate(
+                TrainableNormal(-6.0 * ones(K, D), 5e-4 * ones(K, D), 2),
+                self.bijectors["v"],
+            ),
+            "w": TransformedSurrogate(
+                TrainableNormal(-6.0 * ones(1, D), 5e-4 * ones(1, D), 2),
+                self.bijectors["w"],
+            ),
+        }
+
+    def _u_prior_plus(self, decay):
+        if self._u_signed:
+            return lambda u_eta, u_tau: tfd.Independent(
+                tfd.Normal(loc=0.0 * u_eta, scale=u_eta * u_tau * decay), 2
+            )
+        return lambda u_eta, u_tau: tfd.Independent(
+            tfd.HalfNormal(scale=u_eta * u_tau * decay), 2
+        )
+
+    def _u_prior_nonplus(self, decay, ones):
+        D, K = self.feature_dim, self.latent_dim
+        scale = self.u_tau_scale * np.asarray(decay) * ones(D, K)
+        if self._u_signed:
+            return tfd.Independent(tfd.Horseshoe(scale=scale), 2)
+        return tfd.Independent(tfd.AbsHorseshoe(scale=scale), 2)
+
     def create_distributions(self):
         """Build prior joint + trainable surrogate (reference poisson.py:212-573)."""
         D, K = self.feature_dim, self.latent_dim
         dt = self.dtype
-        ones = lambda *shape: jnp.ones(shape, dt)
-        zeros = lambda *shape: jnp.zeros(shape, dt)
+        # constants are built in numpy: model construction stays off the XLA
+        # compiler (each tiny eager op would otherwise trigger a compile)
+        ones = lambda *shape: np.ones(shape, dt)
 
         self.bijectors = {
             k: tfb.Softplus()
-            for k in ("u", "v", "u_eta", "u_tau", "s", "s_eta", "s_tau", "w")
+            for k in ("u", "u_eta", "u_tau", "s", "s_eta", "s_tau")
         }
-        decay = jnp.asarray(
-            self.symmetry_breaking_decay, dt
-        ) ** jnp.arange(K, dtype=dt)[None, :]
+        if self._u_signed:
+            self.bijectors["u"] = tfb.Identity()
+        self.bijectors.update(self._vw_bijectors())
+        decay = np.asarray(self.symmetry_breaking_decay, dt) ** np.arange(
+            K, dtype=dt
+        )[None, :]
+        decay = jnp.asarray(decay)
 
-        dist = {
-            "v": tfd.Independent(tfd.HalfNormal(scale=0.1 * ones(K, D)), 2),
-            "w": tfd.Independent(tfd.HalfNormal(scale=ones(1, D)), 2),
-        }
+        dist = dict(self._vw_priors(ones))
         if self.horseshoe_plus:
             dist.update(
-                u=lambda u_eta, u_tau: tfd.Independent(
-                    tfd.HalfNormal(scale=u_eta * u_tau * decay), 2
-                ),
+                u=self._u_prior_plus(decay),
                 u_eta=lambda u_eta_a: tfd.Independent(
                     tfd.SqrtInverseGamma(0.5 * ones(D, K), 1.0 / u_eta_a), 2
                 ),
@@ -330,7 +397,7 @@ class PoissonFactorization(BayesianModel):
                 ),
                 s=TransformedSurrogate(
                     TrainableNormal(
-                        ones(2, D) * jnp.asarray([[-2.0], [-1.0]], dt),
+                        ones(2, D) * np.asarray([[-2.0], [-1.0]], dt),
                         1e-3 * ones(2, D),
                         2,
                     ),
@@ -361,7 +428,7 @@ class PoissonFactorization(BayesianModel):
             sur.update(
                 s=TransformedSurrogate(
                     TrainableNormal(
-                        ones(2, D) * jnp.asarray([[-2.0], [-1.0]], dt),
+                        ones(2, D) * np.asarray([[-2.0], [-1.0]], dt),
                         1e-3 * ones(2, D),
                         2,
                     ),
@@ -383,13 +450,14 @@ class PoissonFactorization(BayesianModel):
         """Energy parts (reference poisson.py:582-621): weighted prior parts,
         HalfNormal(1) prior on theta ('z'), finite-masked / clipped Poisson
         log-likelihood summed over features+rows ('x')."""
+        if data is None:
+            data = self._next_batch()
         prior_parts = self.prior_distribution.log_prob_parts(params)
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
         ll = self.log_likelihood_components(data=data, **params)["log_likelihood"]
 
         theta = self.encode(self._counts(data), params["u"], params["s"])
-        rv_theta = tfd.Independent(tfd.HalfNormal(scale=jnp.ones_like(theta)), 2)
-        prior_parts["z"] = rv_theta.log_prob(theta)
+        prior_parts["z"] = self._theta_prior_log_prob(theta)
 
         finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
         min_val = jnp.min(finite) - 10.0

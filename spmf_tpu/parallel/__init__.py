@@ -1,0 +1,15 @@
+from .mesh import (
+    data_parallel_mesh,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_feature_dim,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_parallel_mesh",
+    "shard_batch",
+    "replicate",
+    "shard_params_feature_dim",
+]

@@ -20,6 +20,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spmf_tpu import bijectors as tfb
 from spmf_tpu import distributions as tfd
@@ -37,6 +38,13 @@ __all__ = [
 _softplus = tfb.Softplus()
 
 
+def _np_softplus_inverse(y):
+    """Init-time softplus^{-1} in numpy: keeps model construction off the
+    XLA compiler (tiny eager ops are surprisingly expensive to compile)."""
+    y = np.asarray(y, np.float64)
+    return y + np.log(-np.expm1(-y))
+
+
 def _sum_event(x, event_ndims):
     if event_ndims == 0:
         return x
@@ -50,18 +58,21 @@ class TrainableNormal:
     reference poisson.py:404-414: loc init -6, scale init 5e-4)."""
 
     def __init__(self, loc, scale, event_ndims=None, dtype=None):
-        loc = jnp.asarray(loc, dtype)
-        scale = jnp.asarray(scale, dtype)
-        self.dtype = loc.dtype
-        self.shape = jnp.broadcast_shapes(loc.shape, scale.shape)
-        self.event_ndims = len(self.shape) if event_ndims is None else int(event_ndims)
-        self._loc0 = jnp.broadcast_to(loc, self.shape).astype(self.dtype)
-        self._raw_scale0 = _softplus.inverse(
-            jnp.broadcast_to(scale, self.shape).astype(self.dtype)
+        loc = np.asarray(loc)
+        scale = np.asarray(scale)
+        self.dtype = (
+            jax.dtypes.canonicalize_dtype(loc.dtype) if dtype is None else jnp.dtype(dtype)
         )
+        self.shape = np.broadcast_shapes(loc.shape, scale.shape)
+        self.event_ndims = len(self.shape) if event_ndims is None else int(event_ndims)
+        self._loc0 = np.broadcast_to(loc, self.shape)
+        self._raw_scale0 = _np_softplus_inverse(np.broadcast_to(scale, self.shape))
 
     def init(self) -> Dict[str, jnp.ndarray]:
-        return {"loc": self._loc0, "raw_scale": self._raw_scale0}
+        return {
+            "loc": jnp.asarray(self._loc0, self.dtype),
+            "raw_scale": jnp.asarray(self._raw_scale0, self.dtype),
+        }
 
     def dist(self, params):
         return tfd.Normal(params["loc"], _softplus.forward(params["raw_scale"]))
@@ -87,20 +98,21 @@ class TrainableInverseGamma:
     e.g. reference poisson.py:438-459)."""
 
     def __init__(self, concentration, scale, event_ndims=None, dtype=None):
-        conc = jnp.asarray(concentration, dtype)
-        scale = jnp.asarray(scale, dtype)
-        self.dtype = conc.dtype
-        self.shape = jnp.broadcast_shapes(conc.shape, scale.shape)
+        conc = np.asarray(concentration)
+        scale = np.asarray(scale)
+        self.dtype = (
+            jax.dtypes.canonicalize_dtype(conc.dtype) if dtype is None else jnp.dtype(dtype)
+        )
+        self.shape = np.broadcast_shapes(conc.shape, scale.shape)
         self.event_ndims = len(self.shape) if event_ndims is None else int(event_ndims)
-        self._raw_conc0 = _softplus.inverse(
-            jnp.broadcast_to(conc, self.shape).astype(self.dtype)
-        )
-        self._raw_scale0 = _softplus.inverse(
-            jnp.broadcast_to(scale, self.shape).astype(self.dtype)
-        )
+        self._raw_conc0 = _np_softplus_inverse(np.broadcast_to(conc, self.shape))
+        self._raw_scale0 = _np_softplus_inverse(np.broadcast_to(scale, self.shape))
 
     def init(self) -> Dict[str, jnp.ndarray]:
-        return {"raw_concentration": self._raw_conc0, "raw_scale": self._raw_scale0}
+        return {
+            "raw_concentration": jnp.asarray(self._raw_conc0, self.dtype),
+            "raw_scale": jnp.asarray(self._raw_scale0, self.dtype),
+        }
 
     def dist(self, params):
         return tfd.InverseGamma(
@@ -167,10 +179,36 @@ class SurrogatePosterior:
 
     Plays the role of the reference's surrogate
     ``tfd.JointDistributionNamed(surrogate_dict)`` (poisson.py:567-569).
+
+    TPU/perf note: base samples are drawn with ONE flattened
+    ``random.normal`` call for all Normal surrogates and ONE flattened
+    ``random.gamma`` call for all InverseGamma surrogates, instead of
+    per-variable calls. ``random.gamma`` lowers to a rejection-sampling
+    while-loop that is very expensive for XLA to compile per shape
+    (~15-25 s/shape on CPU), and batching also keeps the VPU busy with one
+    large kernel rather than many slivers.
     """
 
     def __init__(self, surrogates: Dict[str, TransformedSurrogate]):
         self.surrogates = dict(surrogates)
+        self._normal_names = [
+            n for n, s in self.surrogates.items() if isinstance(s.base, TrainableNormal)
+        ]
+        self._ig_names = [
+            n
+            for n, s in self.surrogates.items()
+            if isinstance(s.base, TrainableInverseGamma)
+        ]
+        self._other_names = [
+            n
+            for n in self.surrogates
+            if n not in self._normal_names and n not in self._ig_names
+        ]
+        self._sizes = {
+            n: int(np.prod(self.surrogates[n].shape)) for n in self.surrogates
+        }
+        dtypes = {s.base.dtype for s in self.surrogates.values()}
+        self.dtype = dtypes.pop() if len(dtypes) == 1 else None
 
     @property
     def names(self):
@@ -180,11 +218,64 @@ class SurrogatePosterior:
         return {k: s.init() for k, s in self.surrogates.items()}
 
     def sample_and_log_prob(self, params, key, sample_shape=()):
-        keys = jax.random.split(key, len(self.surrogates))
+        sample_shape = tuple(sample_shape)
+        kn, kg, ko = jax.random.split(key, 3)
         values, logq = {}, 0.0
-        for k, (name, s) in zip(keys, self.surrogates.items()):
-            values[name], lp = s.sample_and_log_prob(params[name], k, sample_shape)
-            logq = logq + lp
+
+        if self._normal_names:
+            total = sum(self._sizes[n] for n in self._normal_names)
+            eps = jax.random.normal(kn, sample_shape + (total,), self.dtype)
+            off = 0
+            for n in self._normal_names:
+                s = self.surrogates[n]
+                p = params[n]
+                sz = self._sizes[n]
+                e = eps[..., off : off + sz].reshape(sample_shape + s.shape)
+                off += sz
+                loc = p["loc"]
+                scale = _softplus.forward(p["raw_scale"])
+                x = loc + scale * e
+                lp = _sum_event(
+                    tfd.Normal(loc, scale).log_prob(x), s.event_ndims
+                ) - _sum_event(
+                    s.bijector.forward_log_det_jacobian(x), s.event_ndims
+                )
+                values[n] = s.bijector.forward(x)
+                logq = logq + lp
+
+        if self._ig_names:
+            concs = [
+                _softplus.forward(params[n]["raw_concentration"]).reshape(-1)
+                for n in self._ig_names
+            ]
+            conc_flat = jnp.concatenate(concs)
+            conc_b = jnp.broadcast_to(conc_flat, sample_shape + conc_flat.shape)
+            g = jax.random.gamma(kg, conc_b, dtype=self.dtype)
+            off = 0
+            for n in self._ig_names:
+                s = self.surrogates[n]
+                sz = self._sizes[n]
+                a = _softplus.forward(params[n]["raw_concentration"])
+                b = _softplus.forward(params[n]["raw_scale"])
+                gs = g[..., off : off + sz].reshape(sample_shape + s.shape)
+                off += sz
+                x = b / gs
+                lp = _sum_event(
+                    tfd.InverseGamma(a, b).log_prob(x), s.event_ndims
+                ) - _sum_event(
+                    s.bijector.forward_log_det_jacobian(x), s.event_ndims
+                )
+                values[n] = s.bijector.forward(x)
+                logq = logq + lp
+
+        if self._other_names:
+            keys = jax.random.split(ko, len(self._other_names))
+            for k, n in zip(keys, self._other_names):
+                values[n], lp = self.surrogates[n].sample_and_log_prob(
+                    params[n], k, sample_shape
+                )
+                logq = logq + lp
+
         return values, logq
 
     def sample(self, params, key, sample_shape=()):
@@ -198,14 +289,12 @@ class SurrogatePosterior:
 
     def mean(self, params, key=None, num_samples=250):
         """Calibrated expectations (reference
-        ``set_calibration_expectations()``, poisson.py:573)."""
+        ``set_calibration_expectations()``, poisson.py:573) — sampled jointly
+        so the expensive gamma kernel compiles once."""
         if key is None:
             key = jax.random.PRNGKey(42)
-        keys = jax.random.split(key, len(self.surrogates))
-        return {
-            name: s.mean(params[name], k, num_samples)
-            for k, (name, s) in zip(keys, self.surrogates.items())
-        }
+        values, _ = self.sample_and_log_prob(params, key, (num_samples,))
+        return {n: jnp.mean(v, axis=0) for n, v in values.items()}
 
 
 def build_trainable_normal_dist(loc, scale, ndims=None, dtype=None, strategy=None):

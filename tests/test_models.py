@@ -1,0 +1,217 @@
+"""Model-family tests: energy correctness, fit smoke, exports, save/restore.
+
+Shapes are deliberately tiny — the CI host is a single CPU core and XLA
+compile time dominates; the persistent compilation cache (conftest) keeps
+re-runs fast.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmf_tpu import (
+    BernoulliFactorization,
+    GaussianFactorization,
+    MixedFactorization,
+    PoissonAutoencoder,
+    PoissonFactorization,
+    PoissonMatrixFactorization,
+)
+from spmf_tpu.data import ArrayDataset
+
+N, D, P = 200, 8, 3
+RNG = np.random.default_rng(0)
+X = RNG.poisson(1.0, size=(N, D))
+DATA = ArrayDataset({"counts": X, "indices": np.arange(N)}).batch(50)
+
+
+@pytest.fixture(scope="module")
+def pois():
+    return PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=1 / np.sqrt(N * D),
+        dtype="float64", data=DATA,
+    )
+
+
+def test_shapes_and_energy(pois):
+    m = pois
+    key = jax.random.PRNGKey(0)
+    samples, logq = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (4,))
+    assert samples["u"].shape == (4, D, P)
+    assert samples["v"].shape == (4, P, D)
+    assert samples["w"].shape == (4, 1, D)
+    assert samples["s"].shape == (4, 2, D)
+    assert logq.shape == (4,)
+    batch = next(iter(DATA))
+    lp = m.unormalized_log_prob(data=batch, **samples)
+    assert lp.shape == (4,)
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_energy_matches_manual_computation(pois):
+    """Cross-check the full energy against an independent numpy computation
+    of the reference equations (poisson.py:582-621)."""
+    import scipy.stats as st
+    import scipy.special as sp
+
+    m = pois
+    key = jax.random.PRNGKey(1)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, ())
+    batch = next(iter(DATA))
+    s = {k: np.asarray(v) for k, v in samples.items()}
+    x = np.asarray(batch["counts"], np.float64)
+    eta = np.asarray(m.eta_i, np.float64)
+    # encode
+    weights = s["s"] / s["s"].sum(-2, keepdims=True)
+    A = weights[0][:, None] * s["u"]
+    z = (x / eta) @ A
+    z *= x.sum(-1, keepdims=True) / np.asarray(m.xi_u_global)
+    # rate
+    phi = eta * weights[1][None, :] * s["w"]
+    rate = (z @ s["v"]) * eta + phi
+    ll = st.poisson(mu=rate).logpmf(x)
+    min_val = ll[np.isfinite(ll)].min() - 10
+    ll = np.clip(ll, min_val, 0.0)
+    ll = np.where(np.isfinite(ll), ll, min_val)
+    expected_x = ll.sum()
+    expected_z = st.halfnorm.logpdf(z).sum()
+
+    parts = m.unormalized_log_prob_parts(batch, **samples)
+    np.testing.assert_allclose(float(parts["x"]), expected_x, rtol=1e-9)
+    np.testing.assert_allclose(float(parts["z"]), expected_z, rtol=1e-9)
+    # prior parts for v (HalfNormal 0.1) and w (HalfNormal 1)
+    np.testing.assert_allclose(
+        float(parts["v"]), st.halfnorm(scale=0.1).logpdf(s["v"]).sum(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(parts["w"]), st.halfnorm(scale=1.0).logpdf(s["w"]).sum(), rtol=1e-9
+    )
+
+
+def test_fit_decreases_loss_and_exports(pois):
+    m = pois
+    losses = m.fit(
+        batched_data_factory=DATA, num_steps=3, learning_rate=0.1,
+        sample_size=4, verbose=False, seed=0,
+    )
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0]
+    enc = np.asarray(m.encoding_matrix())
+    dec = np.asarray(m.decoding_matrix())
+    phi = np.asarray(m.intercept_matrix())
+    assert enc.shape == (D, P) and dec.shape == (P, D) and phi.shape == (1, D)
+    assert (enc >= 0).all() and (dec >= 0).all() and (phi >= 0).all()
+    z = np.asarray(m.encode(X[:10]))
+    assert z.shape == (10, P)
+    w = m.waic(num_samples=10)
+    assert set(w) == {"waic", "se", "lppd", "pwaic"}
+    assert np.isfinite(list(w.values())).all()
+
+
+def test_save_and_reconstitute(tmp_path, pois):
+    m = pois
+    path = str(tmp_path / "model.npz")
+    m.save(path)
+    m2 = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=1 / np.sqrt(N * D), dtype="float64"
+    )
+    m2.load_params(path)
+    for name in m.surrogate_params:
+        for leaf in m.surrogate_params[name]:
+            np.testing.assert_allclose(
+                m.surrogate_params[name][leaf], m2.surrogate_params[name][leaf]
+            )
+    # reconstitute() from a flat state dict (reference poisson.py:711-717;
+    # NOTE it deliberately does NOT refresh calibrated expectations — the
+    # reference leaves that line commented out — so recalibrate explicitly)
+    flat, _ = jax.tree_util.tree_flatten(m.surrogate_params)
+    m2.reconstitute({"surrogate_vars": [np.asarray(a) for a in flat]})
+    m2.set_calibration_expectations()
+    np.testing.assert_allclose(
+        np.asarray(m2.encode(X[:5])), np.asarray(m.encode(X[:5])), rtol=1e-7
+    )
+
+
+def test_bernoulli_model():
+    Xb = (RNG.random((N, D)) < 0.3).astype(np.float64)
+    data = ArrayDataset({"counts": Xb, "indices": np.arange(N)}).batch(50)
+    m = BernoulliFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64", data=data
+    )
+    losses = m.fit(batched_data_factory=data, num_steps=2, learning_rate=0.1,
+                   sample_size=4, verbose=False)
+    assert losses[-1] < losses[0]
+    # encode has no row-scaling branch
+    z = np.asarray(m.encode(Xb[:7]))
+    assert z.shape == (7, P)
+
+
+def test_gaussian_model_faithful_and_normal_obs():
+    data = ArrayDataset({"counts": X, "indices": np.arange(N)}).batch(50)
+    m = GaussianFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64", data=data
+    )
+    key = jax.random.PRNGKey(0)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (2,))
+    batch = next(iter(data))
+    # prior_weight IS forwarded here (reference gaussian.py:600-605)
+    lp1 = m.unormalized_log_prob(data=batch, prior_weight=1.0, **samples)
+    lp0 = m.unormalized_log_prob(data=batch, prior_weight=0.0, **samples)
+    assert not np.allclose(np.asarray(lp1), np.asarray(lp0))
+
+    Xr = RNG.normal(size=(N, D))
+    data_r = ArrayDataset({"counts": Xr, "indices": np.arange(N)}).batch(50)
+    mn = GaussianFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+        observation_model="normal", scale_columns=False, data=data_r,
+    )
+    losses = mn.fit(batched_data_factory=data_r, num_steps=2, learning_rate=0.05,
+                    sample_size=4, verbose=False)
+    assert np.isfinite(losses).all()
+
+
+def test_mixed_model():
+    cols = ["poisson"] * 3 + ["bernoulli"] * 3 + ["normal"] * 2
+    Xm = np.concatenate(
+        [
+            RNG.poisson(1.0, size=(N, 3)),
+            (RNG.random((N, 3)) < 0.4).astype(float),
+            RNG.normal(size=(N, 2)),
+        ],
+        axis=1,
+    )
+    data = ArrayDataset({"counts": Xm, "indices": np.arange(N)}).batch(50)
+    m = MixedFactorization(
+        latent_dim=P, column_types=cols, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, data=data,
+    )
+    losses = m.fit(batched_data_factory=data, num_steps=2, learning_rate=0.05,
+                   sample_size=4, verbose=False)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_autoencoder():
+    data = ArrayDataset({"data": X, "indices": np.arange(N)}).batch(50)
+    m = PoissonAutoencoder(data, latent_dim=P, dtype="float64")
+    losses = m.fit(batched_data_factory=data, num_steps=2, learning_rate=0.05,
+                   sample_size=4, verbose=False)
+    assert np.isfinite(losses).all()
+    z = np.asarray(m.encode(X[:6]))
+    assert z.shape == (6, P)
+    w = m.waic(num_samples=5)
+    assert np.isfinite(list(w.values())).all()
+
+
+def test_legacy_api():
+    data = ArrayDataset({"counts": X, "indices": np.arange(N)}).batch(50)
+    m = PoissonMatrixFactorization(
+        data, latent_dim=P, strategy=None, u_tau_scale=1 / np.sqrt(N * D),
+        dtype="float64", scale_rates=True,
+    )
+    assert m.feature_dim == D
+    assert m.scale_rows is True
+    assert np.asarray(m.column_norm_factor).shape == (1, D)
+    # surrogate_distribution.sample(n) notebook API
+    s = m.surrogate_distribution.sample(5)
+    assert s["u"].shape == (5, D, P)

@@ -1,0 +1,122 @@
+"""Sharding equivalence on the virtual 8-device CPU mesh.
+
+The TPU-native replacement for the reference's tf.distribute strategy hook
+(SURVEY.md §5.8): dp row-sharding + fp feature-sharding must be numerically
+equivalent to single-device execution (XLA inserts the collectives)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P_
+
+from spmf_tpu import PoissonFactorization
+from spmf_tpu.parallel import (
+    data_parallel_mesh,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_feature_dim,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+B, D, P, S = 32, 16, 4, 3
+RNG = np.random.default_rng(0)
+X = RNG.poisson(1.0, size=(B, D)).astype(np.float64)
+
+
+def _model():
+    return PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False,
+    )
+
+
+def _loss_fn(model):
+    surrogate = model._surrogate
+
+    def loss(params, key, batch):
+        samples, logq = surrogate.sample_and_log_prob(params, key, (S,))
+        lp = model.unormalized_log_prob(data=batch, **samples)
+        return -jnp.mean(lp - logq) / B
+
+    return loss
+
+
+def test_dp_sharded_loss_matches_single_device():
+    model = _model()
+    loss = jax.jit(_loss_fn(model))
+    key = jax.random.PRNGKey(0)
+    batch = {"counts": jnp.asarray(X), "indices": jnp.arange(B)}
+    ref = float(loss(model.surrogate_params, key, batch))
+
+    mesh = data_parallel_mesh(8)
+    sharded_batch = shard_batch(batch, mesh)
+    params = replicate(model.surrogate_params, mesh)
+    out = float(loss(params, key, sharded_batch))
+    np.testing.assert_allclose(out, ref, rtol=1e-10)
+
+
+def test_dp_fp_sharded_grad_matches_single_device():
+    model = _model()
+    loss = _loss_fn(model)
+    key = jax.random.PRNGKey(1)
+    batch = {"counts": jnp.asarray(X), "indices": jnp.arange(B)}
+    ref_grads = jax.jit(jax.grad(loss))(model.surrogate_params, key, batch)
+
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    sbatch = {
+        "counts": jax.device_put(
+            jnp.asarray(X), NamedSharding(mesh, P_("dp", "fp"))
+        ),
+        "indices": jax.device_put(jnp.arange(B), NamedSharding(mesh, P_("dp"))),
+    }
+    sparams = shard_params_feature_dim(model.surrogate_params, mesh, "fp")
+    grads = jax.jit(jax.grad(loss))(sparams, key, sbatch)
+    for name in ref_grads:
+        for leaf in ref_grads[name]:
+            np.testing.assert_allclose(
+                np.asarray(grads[name][leaf]),
+                np.asarray(ref_grads[name][leaf]),
+                rtol=1e-8,
+                atol=1e-10,
+                err_msg=f"{name}.{leaf}",
+            )
+
+
+def test_full_train_step_on_mesh():
+    model = _model()
+    loss = _loss_fn(model)
+    optimizer = optax.chain(optax.clip(5.0), optax.adam(0.05))
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    params = shard_params_feature_dim(model.surrogate_params, mesh, "fp")
+    opt_state = optimizer.init(params)
+    batch = {
+        "counts": jax.device_put(jnp.asarray(X), NamedSharding(mesh, P_("dp", "fp"))),
+        "indices": jax.device_put(jnp.arange(B), NamedSharding(mesh, P_("dp"))),
+    }
+
+    @jax.jit
+    def step(p, o, key, b):
+        l, g = jax.value_and_grad(loss)(p, key, b)
+        updates, o = optimizer.update(g, o, p)
+        return optax.apply_updates(p, updates), o, l
+
+    p, o, l0 = step(params, opt_state, jax.random.PRNGKey(0), batch)
+    p, o, l1 = step(p, o, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+
+
+def test_graft_entry_dryrun():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    val = float(jax.jit(fn)(*args))
+    assert np.isfinite(val)
+    ge.dryrun_multichip(8)
