@@ -48,7 +48,7 @@ def build_step(model, optimizer, batch_rows):
     return train_step
 
 
-def measure(device_kind: str, iters: int) -> float:
+def measure(device_kind: str, iters: int, fused: bool = False) -> float:
     """rows/sec of the jitted train step on the current default backend."""
     import jax
     import jax.numpy as jnp
@@ -60,7 +60,7 @@ def measure(device_kind: str, iters: int) -> float:
     X = rng.poisson(1.0, size=(B, D)).astype(np.float32)
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
-        dtype="float32", scale_columns=False,
+        dtype="float32", scale_columns=False, fused_likelihood=fused,
     )
     optimizer = optax.chain(optax.clip(5.0), optax.adam(0.01))
     opt_state = optimizer.init(model.surrogate_params)
@@ -113,6 +113,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     tpu_rows = measure(jax.default_backend(), ITERS)
+    path = "xla"
+    try:
+        fused_rows = measure(jax.default_backend(), ITERS, fused=True)
+        if fused_rows > tpu_rows:
+            tpu_rows, path = fused_rows, "pallas-fused"
+    except Exception as e:  # pragma: no cover - kernel fallback
+        print(f"# fused path unavailable: {type(e).__name__}", file=sys.stderr)
     try:
         baseline = get_cpu_baseline()
         vs = tpu_rows / baseline
@@ -121,7 +128,7 @@ def main():
     print(json.dumps({
         "metric": "elbo_train_rows_per_sec_per_chip",
         "value": round(tpu_rows, 1),
-        "unit": f"rows/sec (D={D}, P={P}, batch={B}, samples={S}, f32)",
+        "unit": f"rows/sec (D={D}, P={P}, batch={B}, samples={S}, f32, {path})",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }))
 

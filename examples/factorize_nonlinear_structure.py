@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Factorize counts with planted nonlinear-manifold structure using the
+log-transform encode/decode path.
+
+Script equivalent of reference notebooks/factorize_nonlinear_structure.ipynb
+(data generation: cell 2; recorded: initial loss 54.6769 -> ~46.96, WAIC
+1352797.96; batch=10000).
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spmf_tpu import PoissonMatrixFactorization
+from spmf_tpu.data import ArrayDataset
+
+N, D_factor, D_noise, P = 50_000, 10, 20, 3
+D = D_factor + D_noise
+
+rng = np.random.default_rng(0)
+V = np.abs(rng.normal(1.5, 0.5, size=(P, D_factor)))
+Z = np.abs(rng.normal(0.5, 1.0, size=(N, P)))
+ZV = Z.dot(V)
+
+X = rng.poisson(1.0, size=(N, D))
+X[:, ::3] = rng.poisson(ZV * np.exp(ZV / ZV.mean() / 10) + (ZV / ZV.mean() / 10) ** 2)
+
+data = ArrayDataset({"counts": X, "indices": np.arange(N)}).batch(10_000)
+factor = PoissonMatrixFactorization(
+    data, latent_dim=P, strategy=None, log_transform=True,
+    u_tau_scale=1.0 / np.sqrt(D * N),
+)
+losses = factor.calibrate_advi(num_steps=200, rel_tol=1e-4, learning_rate=0.05)
+print(factor.waic())
+
+A = np.asarray(factor.encoding_matrix())
+col_mass = np.abs(A).sum(1)
+print("signal col mass:", col_mass[::3].mean(), "noise col mass:",
+      np.delete(col_mass, np.s_[::3]).mean())

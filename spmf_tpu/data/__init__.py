@@ -12,7 +12,12 @@ from typing import Callable, Dict, Iterable, Optional
 
 import numpy as np
 
-__all__ = ["ArrayDataset", "as_data_factory", "load_csv_counts"]
+__all__ = [
+    "ArrayDataset",
+    "as_data_factory",
+    "load_csv_counts",
+    "SparseCounts",
+]
 
 
 class ArrayDataset:
@@ -108,5 +113,11 @@ def as_data_factory(data) -> Callable[[], Iterable[dict]]:
 
 def load_csv_counts(path: str, dtype=np.float64) -> np.ndarray:
     """Load a headerless CSV count matrix (reference:
-    bin/factorize_csv.py:74-87 semantics, minus tf.data)."""
-    return np.loadtxt(path, delimiter=",", dtype=dtype, ndmin=2)
+    bin/factorize_csv.py:74-87 semantics, minus tf.data). Uses the native
+    C++ parser (spmf_tpu/data/_native) when available, numpy otherwise."""
+    from spmf_tpu.data.native import load_csv
+
+    return load_csv(path, dtype=dtype)
+
+
+from spmf_tpu.data.sparse import SparseCounts  # noqa: E402

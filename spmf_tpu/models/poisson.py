@@ -78,6 +78,7 @@ class PoissonFactorization(BayesianModel):
         initialize_distributions=True,
         dtype=None,
         data=None,
+        fused_likelihood=False,
         **kwargs,
     ):
         """Mirrors the reference constructor signature (poisson.py:56-64),
@@ -108,6 +109,8 @@ class PoissonFactorization(BayesianModel):
 
         self.u_tau_scale = u_tau_scale
         self.s_tau_scale = s_tau_scale
+        self.fused_likelihood = fused_likelihood
+        self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)
 
         if data is not None:
             self.set_data(data)
@@ -454,17 +457,51 @@ class PoissonFactorization(BayesianModel):
             data = self._next_batch()
         prior_parts = self.prior_distribution.log_prob_parts(params)
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
-        ll = self.log_likelihood_components(data=data, **params)["log_likelihood"]
 
         theta = self.encode(self._counts(data), params["u"], params["s"])
         prior_parts["z"] = self._theta_prior_log_prob(theta)
 
+        if self._can_fuse():
+            # Pallas fused decode+likelihood: identical semantics, no
+            # (S,B,D) HBM round-trips (spmf_tpu.ops.fused_poisson)
+            from spmf_tpu.ops import fused_poisson_loglik
+
+            x = jnp.asarray(self._counts(data), self.dtype)
+            phi = self.intercept_matrix(params["w"], params["s"])
+            B = self.decoding_matrix(params["v"])
+            squeeze = theta.ndim == 2
+            th = theta[None] if squeeze else theta
+            out = fused_poisson_loglik(
+                th,
+                B[None] if squeeze else B,
+                phi[None] if squeeze else phi,
+                x,
+                self.eta_i,
+                self.log_transform,
+                self._fused_interpret,
+            ).astype(self.dtype)
+            prior_parts["x"] = out[0] if squeeze else out
+            return prior_parts
+
+        ll = self.log_likelihood_components(data=data, **params)["log_likelihood"]
         finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
         min_val = jnp.min(finite) - 10.0
         ll = jnp.clip(ll, min_val, 0.0)
         ll = jnp.where(jnp.isfinite(ll), ll, min_val)
         prior_parts["x"] = jnp.sum(ll, axis=(-1, -2))
         return prior_parts
+
+    def _can_fuse(self):
+        """Fused kernel only for the stock Poisson decode path: no subclass
+        likelihood/encode overrides, no user-supplied decoder."""
+        return (
+            self.fused_likelihood
+            and type(self)._observation_distribution
+            is PoissonFactorization._observation_distribution
+            and type(self).log_likelihood_components
+            is PoissonFactorization.log_likelihood_components
+            and "decoder_function" not in self.__dict__
+        )
 
     def unormalized_log_prob(self, data=None, prior_weight=1.0, **params):
         # NOTE: the reference hard-codes prior_weight=1. when forwarding to

@@ -1,0 +1,200 @@
+"""Fused decode + Poisson log-likelihood Pallas kernel.
+
+The hot path of the ADVI energy (reference: mederrata_spmf/poisson.py:156-184
++ 606-619) is, per ELBO sample s:
+
+    rate = f(theta_s @ v_s) + phi_s            (B,K)@(K,D) matmul + epilogue
+    ll   = x*log(rate) - rate - lgamma(x+1)    elementwise over (S,B,D)
+    m    = min(finite(ll)) - 10                GLOBAL data-dependent clip bound
+    out  = sum(clip(ll, m, 0) with non-finite -> m)   per-sample scalar
+
+Under plain XLA, the two dependent reductions (global min, then clipped sum)
+force the (S,B,D) ``ll`` tensor through HBM twice. This kernel runs a
+two-phase sequential TPU grid instead — phase 0 accumulates the global
+finite-min in SMEM, phase 1 recomputes the tile and accumulates the clipped
+per-sample sums — so nothing of shape (S,B,D) ever touches HBM: 2x the MXU
+FLOPs (cheap) for ~S x less HBM traffic (the bottleneck).
+
+Gradients: ``fused_poisson_loglik`` carries a custom VJP whose backward pass
+recomputes the rate tile-free in XLA (no (S,B,D) residuals are saved).
+Divergence from raw autodiff (documented in docs/PARITY.md): the clip bound
+``m`` is treated as a constant in the backward pass (autodiff would route a
+gradient to the argmin element); the XLA fallback path keeps exact autodiff.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_poisson_loglik", "poisson_loglik_reference"]
+
+TB, TD = 128, 128  # row / feature tile sizes (f32 min tile is (8,128))
+
+
+def _decode_rate(theta_v, eta, phi, log_transform):
+    if log_transform:
+        return jnp.exp(theta_v * eta) - 1.0 + phi
+    return theta_v * eta + phi
+
+
+def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
+    """Pure-XLA implementation of the exact same semantics (the default
+    training path; keeps full autodiff including the clip-bound gradient)."""
+    theta_v = jnp.matmul(theta, v)
+    rate = _decode_rate(theta_v, eta, phi, log_transform)
+    ll = x * jnp.log(rate) - rate - gammaln(x + 1.0)
+    finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
+    min_val = jnp.min(finite) - 10.0
+    ll = jnp.clip(ll, min_val, 0.0)
+    ll = jnp.where(jnp.isfinite(ll), ll, min_val)
+    return jnp.sum(ll, axis=(-1, -2))
+
+
+def _kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
+            out_ref, min_ref, *, B, D, S, log_transform):
+    p = pl.program_id(0)
+    s = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+
+    theta = theta_ref[0]          # (TB, K)
+    v = v_ref[0]                  # (K, TD)
+    phi = phi_ref[0]              # (1, TD)
+    x = x_ref[:]                  # (TB, TD)
+    eta = eta_ref[:]              # (1, TD)
+    lgx = lgx_ref[:]              # (TB, TD) = lgamma(x+1), precomputed
+
+    tv = jnp.dot(theta, v, preferred_element_type=jnp.float32)
+    if log_transform:
+        rate = jnp.exp(tv * eta) - 1.0 + phi
+    else:
+        rate = tv * eta + phi
+    ll = x * jnp.log(rate) - rate - lgx
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, ll.shape, 0) + i * TB
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, ll.shape, 1) + j * TD
+    in_bounds = (row_ids < B) & (col_ids < D)
+    finite = jnp.isfinite(ll)
+
+    @pl.when((p == 0) & (s == 0) & (i == 0) & (j == 0))
+    def _init_min():
+        min_ref[0] = jnp.float32(0.0)
+
+    @pl.when(p == 0)
+    def _phase_min():
+        tile_min = jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
+        min_ref[0] = jnp.minimum(min_ref[0], tile_min)
+
+    @pl.when((p == 1) & (i == 0) & (j == 0))
+    def _init_sum():
+        out_ref[s] = jnp.float32(0.0)
+
+    @pl.when(p == 1)
+    def _phase_sum():
+        min_val = min_ref[0] - 10.0
+        llc = jnp.clip(ll, min_val, 0.0)
+        llc = jnp.where(finite, llc, min_val)
+        llc = jnp.where(in_bounds, llc, 0.0)
+        out_ref[s] = out_ref[s] + jnp.sum(llc)
+
+
+def _fused_forward(theta, v, phi, x, eta, log_transform, interpret):
+    S, B, K = theta.shape
+    D = x.shape[-1]
+    nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
+    lgx = gammaln(x + 1.0)
+
+    grid = (2, S, nb, nd)
+    out, _ = pl.pallas_call(
+        functools.partial(_kernel, B=B, D=D, S=S, log_transform=log_transform),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, K), lambda p, s, i, j: (s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, TD), lambda p, s, i, j: (s, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TD), lambda p, s, i, j: (s, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TD), lambda p, s, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TD), lambda p, s, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TD), lambda p, s, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * S * B * K * D,
+            bytes_accessed=2 * (S * B * K + S * K * D + 2 * B * D) * 4,
+            transcendentals=2 * S * B * D,
+        ),
+    )(theta, v, phi, x, eta, lgx)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
+                         interpret=False):
+    """Per-sample clipped Poisson log-likelihood sums, shape (S,).
+
+    Args: theta (S,B,K), v (S,K,D), phi (S,1,D), x (B,D), eta (1,D) or
+    scalar broadcastable.
+    """
+    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
+    return _fused_forward(theta, v, phi, x, eta, log_transform, interpret)
+
+
+def _prep(theta, v, phi, x, eta):
+    f32 = jnp.float32
+    theta = jnp.asarray(theta, f32)
+    v = jnp.asarray(v, f32)
+    phi = jnp.asarray(phi, f32)
+    x = jnp.asarray(x, f32)
+    D = x.shape[-1]
+    eta = jnp.broadcast_to(jnp.asarray(eta, f32), (1, D))
+    return theta, v, phi, x, eta
+
+
+def _fwd(theta, v, phi, x, eta, log_transform, interpret):
+    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
+    out = _fused_forward(theta, v, phi, x, eta, log_transform, interpret)
+    # recompute min_val cheaply for the backward (stop-grad residual)
+    return out, (theta, v, phi, x, eta)
+
+
+def _bwd(log_transform, interpret, res, g):
+    theta, v, phi, x, eta = res
+    # recompute rate/ll in XLA; no (S,B,D) residual was stored
+    tv = jnp.matmul(theta, v)
+    rate = _decode_rate(tv, eta, phi, log_transform)
+    ll = x * jnp.log(rate) - rate - gammaln(x + 1.0)
+    finite = jnp.isfinite(ll)
+    min_val = jnp.min(jnp.where(finite, ll, jnp.zeros_like(ll))) - 10.0
+    active = finite & (ll > min_val) & (ll < 0.0)
+    # d ll / d rate = x / rate - 1 where active
+    drate = jnp.where(active, x / rate - 1.0, 0.0) * g[:, None, None]
+    if log_transform:
+        dtv = drate * jnp.exp(tv * eta) * eta
+    else:
+        dtv = drate * eta
+    dtheta = jnp.matmul(dtv, jnp.swapaxes(v, -1, -2))
+    dv = jnp.matmul(jnp.swapaxes(theta, -1, -2), dtv)
+    dphi = jnp.sum(drate, axis=-2, keepdims=True)
+    return dtheta, dv, dphi, None, None
+
+
+fused_poisson_loglik.defvjp(_fwd, _bwd)

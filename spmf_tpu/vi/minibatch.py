@@ -90,6 +90,7 @@ def fit_surrogate_posterior(
     checkpoint_dir: Optional[str] = None,
     verbose: bool = True,
     opt_state=None,
+    profile_dir: Optional[str] = None,
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -164,8 +165,19 @@ def fit_surrogate_posterior(
     lr = learning_rate
     stall = 0
     converged = False
+    epoch_seconds: List[float] = []
+
+    profiler_cm = None
+    if profile_dir is not None:
+        # aux-subsystem upgrade over the reference (which has no profiling,
+        # SURVEY.md §5.1): jax.profiler trace of the training loop
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
+
+    import time as _time
 
     for epoch in range(1, num_steps + 1):
+        t_epoch = _time.perf_counter()
         batch_losses = []
         for batch in batched_data_factory():
             rng, k = jax.random.split(rng)
@@ -173,6 +185,8 @@ def fit_surrogate_posterior(
                 params, opt_state, k, _device_batch(batch, dtype, mesh)
             )
             batch_losses.append(loss)
+        jax.block_until_ready(loss)
+        epoch_seconds.append(_time.perf_counter() - t_epoch)
         batch_losses = [float(l) for l in batch_losses]
         epoch_loss = float(np.mean(batch_losses))
         losses.append(epoch_loss)
@@ -223,6 +237,9 @@ def fit_surrogate_posterior(
                 say(f"Converged (window spread {spread:.3e}); stopping at epoch {epoch}")
                 break
 
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+
     # hand back the best parameters (matches reference restore-best behavior)
     params = _restore(best_params)
     return FitResult(
@@ -232,4 +249,5 @@ def fit_surrogate_posterior(
         opt_state=opt_state,
         checkpoint_path=ckpt_path,
         converged=converged,
+        extras={"epoch_seconds": epoch_seconds},
     )

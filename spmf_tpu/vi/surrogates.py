@@ -287,14 +287,33 @@ class SurrogatePosterior:
             logq = logq + s.log_prob(params[name], values[name])
         return logq
 
-    def mean(self, params, key=None, num_samples=250):
+    def mean(self, params, key=None, num_samples=250, chunk=10):
         """Calibrated expectations (reference
-        ``set_calibration_expectations()``, poisson.py:573) — sampled jointly
-        so the expensive gamma kernel compiles once."""
+        ``set_calibration_expectations()``, poisson.py:573).
+
+        Sampled in chunks under ``lax.scan``: ``random.gamma``'s rejection
+        sampler allocates ~10 internal buffers per element, so one-shot
+        sampling of num_samples x all-IG-params OOMs HBM for wide models
+        (D=20k blew 29 GB at 250 samples)."""
         if key is None:
             key = jax.random.PRNGKey(42)
-        values, _ = self.sample_and_log_prob(params, key, (num_samples,))
-        return {n: jnp.mean(v, axis=0) for n, v in values.items()}
+        chunk = min(chunk, num_samples)
+        n_chunks = max(num_samples // chunk, 1)
+
+        def body(carry, i):
+            k = jax.random.fold_in(key, i)
+            values, _ = self.sample_and_log_prob(params, k, (chunk,))
+            carry = {
+                n: carry[n] + jnp.mean(v, axis=0) / n_chunks
+                for n, v in values.items()
+            }
+            return carry, None
+
+        init = {
+            n: jnp.zeros(s.shape, s.base.dtype) for n, s in self.surrogates.items()
+        }
+        out, _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        return out
 
 
 def build_trainable_normal_dist(loc, scale, ndims=None, dtype=None, strategy=None):

@@ -1,0 +1,93 @@
+"""Data layer: ArrayDataset semantics, native CSV/MTX ingest, CSR dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from spmf_tpu.data import ArrayDataset, as_data_factory
+from spmf_tpu.data.native import load_csv, load_mtx_coo, native_available
+from spmf_tpu.data.sparse import SparseCounts
+
+RNG = np.random.default_rng(0)
+
+
+def test_array_dataset_batching():
+    x = RNG.poisson(1.0, (25, 4))
+    ds = ArrayDataset({"counts": x, "indices": np.arange(25)}).batch(10)
+    batches = list(ds)
+    assert [b["counts"].shape[0] for b in batches] == [10, 10, 5]
+    ds2 = ArrayDataset({"counts": x, "indices": np.arange(25)}).batch(
+        10, drop_remainder=True
+    )
+    assert [b["counts"].shape[0] for b in ds2] == [10, 10]
+    assert len(ds2) == 2
+
+
+def test_array_dataset_shuffle_reshuffles_each_epoch():
+    ds = ArrayDataset({"indices": np.arange(100)}).shuffle(seed=0).batch(100)
+    e1 = next(iter(ds))["indices"]
+    e2 = next(iter(ds))["indices"]
+    assert not np.array_equal(e1, e2)
+    assert sorted(e1) == list(range(100))
+
+
+def test_as_data_factory_accepts_arrays_and_dicts():
+    x = RNG.poisson(1.0, (6, 3))
+    f = as_data_factory(x)
+    b = next(iter(f()))
+    assert b["counts"].shape == (6, 3)
+    f2 = as_data_factory({"counts": x})
+    assert next(iter(f2()))["counts"].shape == (6, 3)
+
+
+def test_native_csv_matches_numpy(tmp_path):
+    x = RNG.poisson(2.0, (40, 7)).astype(float)
+    path = str(tmp_path / "m.csv")
+    np.savetxt(path, x, delimiter=",")
+    out = load_csv(path)
+    np.testing.assert_allclose(out, x)
+    assert native_available()  # g++ is baked into the image
+
+
+def test_native_mtx_roundtrip(tmp_path):
+    dense = RNG.poisson(0.3, (15, 9)).astype(float)
+    rows, cols = np.nonzero(dense)
+    path = str(tmp_path / "m.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n% comment\n")
+        f.write(f"15 9 {len(rows)}\n")
+        for r, c in zip(rows, cols):
+            f.write(f"{r+1} {c+1} {dense[r,c]}\n")
+    r2, c2, v2, shape = load_mtx_coo(path)
+    assert shape == (15, 9)
+    rebuilt = np.zeros((15, 9))
+    rebuilt[r2, c2] = v2
+    np.testing.assert_allclose(rebuilt, dense)
+
+
+def test_sparse_counts_matches_dense_pipeline():
+    dense = RNG.poisson(0.2, (30, 12)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    assert sp.density == np.count_nonzero(dense) / dense.size
+    np.testing.assert_allclose(sp.row_slab(np.arange(30)), dense)
+    colsums, col_nnz = sp.col_stats()
+    np.testing.assert_allclose(colsums[0], dense.sum(0))
+    np.testing.assert_allclose(col_nnz[0], (dense > 0).sum(0))
+    batches = list(sp.batch(8))
+    assert batches[0]["counts"].shape == (8, 12)
+    np.testing.assert_allclose(
+        np.concatenate([b["counts"] for b in batches]), dense
+    )
+
+
+def test_sparse_counts_feeds_model():
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.5, (60, 10)).astype(float)
+    sp = SparseCounts.from_dense(dense).batch(20)
+    m = PoissonFactorization(
+        latent_dim=3, feature_dim=10, u_tau_scale=0.1, dtype="float64", data=sp
+    )
+    losses = m.fit(batched_data_factory=sp, num_steps=2, learning_rate=0.1,
+                   sample_size=4, verbose=False)
+    assert np.isfinite(losses).all()
