@@ -224,6 +224,23 @@ class PoissonFactorization(BayesianModel):
         rv = tfd.Independent(tfd.HalfNormal(scale=jnp.ones_like(theta)), 2)
         return rv.log_prob(theta)
 
+    def encode_sparse(self, sparse_counts, u=None, s=None):
+        """Encode a CSR/COO SparseCounts dataset without densifying
+        (spmf_tpu.ops.sparse_encode; g(0)=0 makes this exact)."""
+        from spmf_tpu.ops import sparse_encode_coo
+
+        u = self.calibrated_expectations["u"] if u is None else u
+        s = self.calibrated_expectations["s"] if s is None else s
+        A = self.encoding_matrix(u, s)
+        sc = sparse_counts
+        counts = np.diff(sc.indptr)
+        rows = np.repeat(np.arange(sc.num_rows), counts)
+        return sparse_encode_coo(
+            rows, sc.indices, sc.data, sc.num_rows, A, self.eta_i,
+            self.log_transform,
+            xi_global=self.xi_u_global if self.scale_rows else None,
+        )
+
     def log_likelihood_components(self, s, u, v, w, data, **kwargs):
         """Pointwise decoder log-likelihood + rate (reference poisson.py:156-184)."""
         x = self._counts(data)

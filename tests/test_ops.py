@@ -84,3 +84,36 @@ def test_model_fused_flag_matches_default():
             np.testing.assert_allclose(
                 np.asarray(fused_parts[k]), np.asarray(ref_parts[k]), rtol=1e-6
             )
+
+
+def test_sparse_encode_matches_dense():
+    from spmf_tpu.data.sparse import SparseCounts
+    from spmf_tpu.ops import sparse_encode_coo
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import ArrayDataset
+
+    dense = RNG.poisson(0.6, (40, 9)).astype(float)
+    data = ArrayDataset({"counts": dense, "indices": np.arange(40)}).batch(40)
+    m = PoissonFactorization(
+        latent_dim=3, feature_dim=9, u_tau_scale=0.1, dtype="float64", data=data
+    )
+    z_dense = np.asarray(m.encode(dense))
+    sp = SparseCounts.from_dense(dense)
+    z_sparse = np.asarray(m.encode_sparse(sp))
+    np.testing.assert_allclose(z_sparse, z_dense, rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_encode_log_transform():
+    from spmf_tpu.data.sparse import SparseCounts
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import ArrayDataset
+
+    dense = RNG.poisson(2.0, (30, 6)).astype(float)
+    data = ArrayDataset({"counts": dense, "indices": np.arange(30)}).batch(30)
+    m = PoissonFactorization(
+        latent_dim=2, feature_dim=6, u_tau_scale=0.1, dtype="float64",
+        log_transform=True, data=data,
+    )
+    z_dense = np.asarray(m.encode(dense))
+    z_sparse = np.asarray(m.encode_sparse(SparseCounts.from_dense(dense)))
+    np.testing.assert_allclose(z_sparse, z_dense, rtol=1e-9, atol=1e-12)
