@@ -48,8 +48,14 @@ def build_step(model, optimizer, batch_rows):
     return train_step
 
 
-def measure(device_kind: str, iters: int, fused: bool = False) -> float:
-    """rows/sec of the jitted train step on the current default backend."""
+def measure(device_kind: str, iters: int, fused: bool = False,
+            gamma_sampler: str = "fast") -> float:
+    """rows/sec of the jitted train step on the current default backend.
+
+    gamma_sampler='fast' (boosted Wilson–Hilferty pathwise gradients) is the
+    production default: the exact sampler's random_gamma_grad primitive
+    costs ~310 ms/step at this scale on v5e and converges to the same ELBO
+    (docs/PARITY.md)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -61,6 +67,7 @@ def measure(device_kind: str, iters: int, fused: bool = False) -> float:
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
         dtype="float32", scale_columns=False, fused_likelihood=fused,
+        gamma_sampler=gamma_sampler,
     )
     optimizer = optax.chain(optax.clip(5.0), optax.adam(0.01))
     opt_state = optimizer.init(model.surrogate_params)

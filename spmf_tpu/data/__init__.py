@@ -14,6 +14,7 @@ import numpy as np
 
 __all__ = [
     "ArrayDataset",
+    "DeviceArrayDataset",
     "as_data_factory",
     "load_csv_counts",
     "SparseCounts",
@@ -66,6 +67,15 @@ class ArrayDataset:
     def prefetch(self, n=None):
         return self
 
+    def to_device(self, dtype=None):
+        """Move the whole dataset into device HBM (DeviceArrayDataset),
+        preserving shuffle/batch settings."""
+        return DeviceArrayDataset(
+            self.tensors, batch_size=self._batch_size, shuffle=self._shuffle,
+            seed=self._seed or 0, drop_remainder=self._drop_remainder,
+            dtype=dtype,
+        )
+
     def __len__(self):
         if self._batch_size is None:
             return self.num_rows
@@ -85,6 +95,75 @@ class ArrayDataset:
         for start in range(0, stop, bs):
             sl = idx[start : start + bs]
             yield {k: v[sl] for k, v in self.tensors.items()}
+
+
+class DeviceArrayDataset:
+    """Device-resident dataset: the full tensors live in HBM once and each
+    batch is an on-device gather — no per-step host->device transfer.
+
+    For the scRNA-scale workload (50k x 20k f32 = 4 GB) the whole matrix
+    fits v5e HBM comfortably; per-step H2D through the remote-device tunnel
+    would otherwise dominate the 70 ms training step.
+    """
+
+    def __init__(self, tensors: Dict, batch_size: Optional[int] = None,
+                 shuffle: bool = False, seed: int = 0, drop_remainder: bool = False,
+                 dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.tensors = {}
+        for k, v in tensors.items():
+            arr = jnp.asarray(v)
+            if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+                arr = arr.astype(dtype)
+            self.tensors[k] = arr
+        lens = {k: v.shape[0] for k, v in self.tensors.items()}
+        if len(set(lens.values())) != 1:
+            raise ValueError(f"Misaligned leading dims: {lens}")
+        self.num_rows = next(iter(lens.values()))
+        self._batch_size = batch_size
+        self._shuffle = shuffle
+        self._seed = seed
+        self._drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def shuffle(self, buffer_size=None, seed=None):
+        self._shuffle = True
+        if seed is not None:
+            self._seed = seed
+        return self
+
+    def batch(self, batch_size, drop_remainder=False):
+        self._batch_size = int(batch_size)
+        self._drop_remainder = drop_remainder
+        return self
+
+    def prefetch(self, n=None):
+        return self
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        bs = self._batch_size or self.num_rows
+        n = self.num_rows
+        stop = n - (n % bs) if self._drop_remainder else n
+        if self._shuffle:
+            key = jax.random.PRNGKey(self._seed + self._epoch)
+            self._epoch += 1
+            idx = jax.random.permutation(key, n)
+        else:
+            idx = None
+        for start in range(0, stop, bs):
+            if idx is not None:
+                sl = jax.lax.dynamic_slice_in_dim(idx, start, min(bs, stop - start))
+                yield {k: jnp.take(v, sl, axis=0) for k, v in self.tensors.items()}
+            else:
+                yield {
+                    k: jax.lax.dynamic_slice_in_dim(v, start, min(bs, n - start))
+                    for k, v in self.tensors.items()
+                }
 
 
 def as_data_factory(data) -> Callable[[], Iterable[dict]]:

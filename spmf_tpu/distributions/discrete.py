@@ -40,13 +40,24 @@ class Poisson(Distribution):
     def log_prob(self, x):
         """x * log(rate) - rate - lgamma(x+1).
 
-        Deliberately NOT NaN-safe for rate <= 0: the reference relies on
-        non-finite log-probs being produced and then masked/clipped by the
-        energy function (reference: poisson.py:606-616). Matching that
-        behavior requires propagating the NaN/-inf here.
+        The log uses max(rate, tiny): in float32 the positive-by-construction
+        rates of the factorization models can underflow to exactly 0, and a
+        bare log(0) poisons *gradients* through the downstream finite-masking
+        (the where-NaN-grad trap) even though the masked value is correct.
+        With the floor, rate==0 & x>0 gives a hugely negative finite value
+        (clipped by the energy's min_val exactly like the reference's
+        non-finite path, poisson.py:606-616), and rate==0 & x==0 gives 0 —
+        the mathematically correct lp(0|0), where the reference produced NaN.
+        Negative rates still propagate NaN (reference behavior).
         """
         x = self._promote(x)
-        return x * self.log_rate - self.rate - gammaln(x + 1.0)
+        if self._log_rate is not None:
+            log_rate = self._log_rate
+        else:
+            tiny = jnp.finfo(self.dtype).tiny
+            log_rate = jnp.log(jnp.maximum(self.rate, tiny))
+            log_rate = jnp.where(self.rate < 0, jnp.nan, log_rate)
+        return x * log_rate - self.rate - gammaln(x + 1.0)
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape

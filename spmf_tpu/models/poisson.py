@@ -79,6 +79,7 @@ class PoissonFactorization(BayesianModel):
         dtype=None,
         data=None,
         fused_likelihood=False,
+        gamma_sampler="fast",
         **kwargs,
     ):
         """Mirrors the reference constructor signature (poisson.py:56-64),
@@ -110,6 +111,7 @@ class PoissonFactorization(BayesianModel):
         self.u_tau_scale = u_tau_scale
         self.s_tau_scale = s_tau_scale
         self.fused_likelihood = fused_likelihood
+        self.gamma_sampler = gamma_sampler
         self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)
 
         if data is not None:
@@ -460,7 +462,9 @@ class PoissonFactorization(BayesianModel):
                 ),
             )
 
-        self._surrogate = SurrogatePosterior(sur)
+        self._surrogate = SurrogatePosterior(
+            sur, gamma_sampler=getattr(self, "gamma_sampler", "exact")
+        )
         self.surrogate_params = self._surrogate.init()
         self.var_list = list(sur.keys())
         self.set_calibration_expectations()

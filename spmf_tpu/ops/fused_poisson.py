@@ -50,12 +50,21 @@ def _decode_rate(theta_v, eta, phi, log_transform):
     return theta_v * eta + phi
 
 
+def _safe_log(rate):
+    """log with a tiny positive floor: f32 rate underflow to 0 must not
+    poison gradients through the finite-mask (see Poisson.log_prob note);
+    negative rates still yield NaN (reference semantics)."""
+    tiny = jnp.finfo(rate.dtype).tiny
+    out = jnp.log(jnp.maximum(rate, tiny))
+    return jnp.where(rate < 0, jnp.nan, out)
+
+
 def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
     """Pure-XLA implementation of the exact same semantics (the default
     training path; keeps full autodiff including the clip-bound gradient)."""
     theta_v = jnp.matmul(theta, v)
     rate = _decode_rate(theta_v, eta, phi, log_transform)
-    ll = x * jnp.log(rate) - rate - gammaln(x + 1.0)
+    ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
     finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
     min_val = jnp.min(finite) - 10.0
     ll = jnp.clip(ll, min_val, 0.0)
@@ -92,7 +101,7 @@ def _kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
             rate = jnp.exp(tv * eta) - 1.0 + phi_ref[s]
         else:
             rate = tv * eta + phi_ref[s]
-        ll = x * jnp.log(rate) - rate - lgx
+        ll = x * _safe_log(rate) - rate - lgx
         finite = jnp.isfinite(ll)
 
         @pl.when(p == 0)
@@ -185,12 +194,13 @@ def _bwd(log_transform, interpret, res, g):
     # recompute rate/ll in XLA; no (S,B,D) residual was stored
     tv = jnp.matmul(theta, v)
     rate = _decode_rate(tv, eta, phi, log_transform)
-    ll = x * jnp.log(rate) - rate - gammaln(x + 1.0)
+    ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
     finite = jnp.isfinite(ll)
     min_val = jnp.min(jnp.where(finite, ll, jnp.zeros_like(ll))) - 10.0
     active = finite & (ll > min_val) & (ll < 0.0)
-    # d ll / d rate = x / rate - 1 where active
-    drate = jnp.where(active, x / rate - 1.0, 0.0) * g[:, None, None]
+    # d ll / d rate = x / rate - 1 where active (rate floored like the log)
+    rate_safe = jnp.maximum(rate, jnp.finfo(rate.dtype).tiny)
+    drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g[:, None, None]
     if log_transform:
         dtv = drate * jnp.exp(tv * eta) * eta
     else:

@@ -189,7 +189,12 @@ class SurrogatePosterior:
     large kernel rather than many slivers.
     """
 
-    def __init__(self, surrogates: Dict[str, TransformedSurrogate]):
+    def __init__(self, surrogates: Dict[str, TransformedSurrogate],
+                 gamma_sampler: str = "exact"):
+        #: 'exact' = jax.random.gamma (implicit reparam; slow backward on
+        #: TPU) | 'fast' = boosted Wilson–Hilferty pathwise sampler
+        #: (spmf_tpu.ops.gamma)
+        self.gamma_sampler = gamma_sampler
         self.surrogates = dict(surrogates)
         self._normal_names = [
             n for n, s in self.surrogates.items() if isinstance(s.base, TrainableNormal)
@@ -250,7 +255,9 @@ class SurrogatePosterior:
             ]
             conc_flat = jnp.concatenate(concs)
             conc_b = jnp.broadcast_to(conc_flat, sample_shape + conc_flat.shape)
-            g = jax.random.gamma(kg, conc_b, dtype=self.dtype)
+            from spmf_tpu.ops.gamma import sample_gamma
+
+            g = sample_gamma(kg, conc_b.astype(self.dtype), self.gamma_sampler)
             off = 0
             for n in self._ig_names:
                 s = self.surrogates[n]

@@ -91,3 +91,33 @@ def test_sparse_counts_feeds_model():
     losses = m.fit(batched_data_factory=sp, num_steps=2, learning_rate=0.1,
                    sample_size=4, verbose=False)
     assert np.isfinite(losses).all()
+
+
+def test_device_dataset_matches_host():
+    from spmf_tpu.data import DeviceArrayDataset
+
+    x = RNG.poisson(1.0, (23, 5)).astype(np.float64)
+    host = ArrayDataset({"counts": x, "indices": np.arange(23)}).batch(10)
+    dev = DeviceArrayDataset({"counts": x, "indices": np.arange(23)}).batch(10)
+    hb = [b["counts"] for b in host]
+    db = [np.asarray(b["counts"]) for b in dev]
+    assert len(hb) == len(db)
+    for a, b in zip(hb, db):
+        np.testing.assert_allclose(a, b)
+
+
+def test_device_dataset_shuffles_and_feeds_fit():
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import DeviceArrayDataset
+
+    x = RNG.poisson(1.0, (120, 6)).astype(np.float64)
+    dev = DeviceArrayDataset({"counts": x, "indices": np.arange(120)},
+                             batch_size=40, shuffle=True)
+    first = np.asarray(next(iter(dev))["indices"])
+    second = np.asarray(next(iter(dev))["indices"])
+    assert not np.array_equal(first, second)
+    m = PoissonFactorization(latent_dim=2, feature_dim=6, u_tau_scale=0.1,
+                             dtype="float64", data=dev)
+    losses = m.fit(batched_data_factory=dev, num_steps=2, learning_rate=0.1,
+                   sample_size=4, verbose=False)
+    assert np.isfinite(losses).all()
