@@ -44,10 +44,20 @@ class Identity(Bijector):
 
 
 class Softplus(Bijector):
-    """y = log(1 + e^x); d y/d x = sigmoid(x)."""
+    """y = log(1 + e^x); d y/d x = sigmoid(x).
+
+    The forward output is floored at the dtype's tiny: in float32,
+    softplus underflows to exactly 0 below x ~ -104, and the factorization
+    models divide by softplus-constrained quantities (the s-split
+    normalization s/sum(s), the horseshoe+ 1/u_eta_a scales — reference
+    poisson.py:303-341, 661) — an exact zero there poisons gradients with
+    inf/NaN. The floor (1.2e-38 f32 / 2.2e-308 f64) is invisible at any
+    representable operating point and keeps those divisions finite.
+    """
 
     def forward(self, x):
-        return jax.nn.softplus(x)
+        y = jax.nn.softplus(x)
+        return jnp.maximum(y, jnp.finfo(y.dtype).tiny)
 
     def inverse(self, y):
         # softplus^{-1}(y) = y + log(1 - e^{-y}), stable for y > 0

@@ -186,6 +186,8 @@ class InverseGamma(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         a = jnp.broadcast_to(self.concentration, shape).astype(self.dtype)
         g = jax.random.gamma(key, a, dtype=self.dtype)
+        # guard b/g against a float32 gamma underflow in the extreme tail
+        g = jnp.maximum(g, jnp.sqrt(jnp.finfo(self.dtype).tiny))
         return self.scale / g
 
     def mean(self):
@@ -210,9 +212,19 @@ class SqrtInverseGamma(Distribution):
         return self.ig.batch_shape
 
     def log_prob(self, x):
+        # p_X(x) = p_Y(x^2) * 2x, expanded in log space so x^2 never
+        # materializes (x > 1.8e19 would overflow float32):
+        #   a log b - (2a+1) log x - b e^{-2 log x} - lgamma(a) + log 2
         x = self._promote(x)
-        # p_X(x) = p_Y(x^2) * |d(x^2)/dx| = p_Y(x^2) * 2x
-        return self.ig.log_prob(x * x) + jnp.log(2.0 * x)
+        a, b = self.ig.concentration, self.ig.scale
+        logx = jnp.log(x)
+        return (
+            a * jnp.log(b)
+            - (2.0 * a + 1.0) * logx
+            - jnp.exp(jnp.log(b) - 2.0 * logx)
+            - gammaln(a)
+            + math.log(2.0)
+        )
 
     def sample(self, key, sample_shape=()):
         return jnp.sqrt(self.ig.sample(key, sample_shape))

@@ -54,7 +54,11 @@ def wilson_hilferty_gamma(key, concentration, boost: int = _BOOST):
         )
         # log prod U_i^{1/(a+i)} = sum log(U_i) / (a + i)
         g = g * jnp.exp(jnp.sum(jnp.log(u) / (a + i), axis=0))
-    return g
+    # random.uniform hits its minval with prob ~2^-24 per draw; for small
+    # concentrations log(minval)/a then underflows g to exactly 0 in f32 and
+    # the downstream InverseGamma sample b/g becomes inf (-> -inf + inf NaNs
+    # in the ELBO). Floor at sqrt(tiny) — below any legit operating point.
+    return jnp.maximum(g, jnp.sqrt(jnp.finfo(jnp.result_type(a)).tiny))
 
 
 def sample_gamma(key, concentration, method: str = "exact"):
@@ -65,4 +69,5 @@ def sample_gamma(key, concentration, method: str = "exact"):
     """
     if method == "fast":
         return wilson_hilferty_gamma(key, concentration)
-    return jax.random.gamma(key, concentration, dtype=jnp.result_type(concentration))
+    g = jax.random.gamma(key, concentration, dtype=jnp.result_type(concentration))
+    return jnp.maximum(g, jnp.sqrt(jnp.finfo(jnp.result_type(concentration)).tiny))

@@ -64,3 +64,16 @@ def test_model_fast_gamma_trains():
                    sample_size=4, verbose=False)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_small_concentration_never_underflows():
+    # regression: uniform draws can hit minval (P~2^-24); for small a the
+    # Stuart reduction then underflowed g to 0 in f32 -> IG sample inf -> NaN
+    conc = jnp.full((1_000_000,), 0.05, jnp.float32)
+    g = wilson_hilferty_gamma(jax.random.PRNGKey(7), conc)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert (g >= np.sqrt(np.finfo(np.float32).tiny)).all()
+    # IG transform stays finite too
+    x = 1.0 / g
+    assert np.isfinite(x).all()
