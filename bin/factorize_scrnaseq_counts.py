@@ -61,6 +61,15 @@ def main():
         .shuffle(buffer_size=N)
         .batch(BATCH_SIZE, drop_remainder=True)
     )
+    try:
+        # keep the whole matrix device-resident: batches become on-device
+        # gathers instead of per-step host->device transfers
+        import jax
+
+        if jax.default_backend() != "cpu":
+            data = data.to_device()
+    except Exception:
+        pass
 
     factor = PoissonMatrixFactorization(
         data,

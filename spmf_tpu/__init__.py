@@ -18,6 +18,7 @@ __version__ = "0.1.0"
 from spmf_tpu import bijectors, distributions  # noqa: F401
 from spmf_tpu.models import (  # noqa: F401
     BayesianModel,
+    load_model,
     BernoulliFactorization,
     GaussianFactorization,
     MixedFactorization,
@@ -30,6 +31,7 @@ __all__ = [
     "distributions",
     "bijectors",
     "BayesianModel",
+    "load_model",
     "PoissonFactorization",
     "PoissonAutoencoder",
     "BernoulliFactorization",

@@ -1,4 +1,4 @@
-from .base import BayesianModel
+from .base import BayesianModel, load_model
 from .poisson import PoissonFactorization
 from .bernoulli import BernoulliFactorization
 from .gaussian import GaussianFactorization
@@ -8,6 +8,7 @@ from .legacy import PoissonMatrixFactorization
 
 __all__ = [
     "BayesianModel",
+    "load_model",
     "PoissonFactorization",
     "BernoulliFactorization",
     "GaussianFactorization",

@@ -25,7 +25,23 @@ from spmf_tpu.data import as_data_factory
 from spmf_tpu.vi.minibatch import fit_surrogate_posterior
 from spmf_tpu.vi.waic import waic as _waic
 
-__all__ = ["BayesianModel", "BoundSurrogate"]
+__all__ = ["BayesianModel", "BoundSurrogate", "load_model"]
+
+
+def load_model(path: str, **overrides):
+    """Reconstruct a saved model from its npz (class name + config + params)
+    — the dill-free replacement for unpickling the reference's
+    ``factor.save()`` artifacts (bin/factorize_csv.py:136-139)."""
+    with np.load(path, allow_pickle=False) as zf:
+        meta = json.loads(str(zf["__meta__"]))
+    import spmf_tpu.models as _models
+
+    cls = getattr(_models, meta["class"])
+    config = dict(meta.get("config", {}))
+    config.update(overrides)
+    model = cls(**config)
+    model.load_params(path)
+    return model
 
 
 class BoundSurrogate:

@@ -78,7 +78,7 @@ class PoissonFactorization(BayesianModel):
         initialize_distributions=True,
         dtype=None,
         data=None,
-        fused_likelihood=False,
+        fused_likelihood=None,
         gamma_sampler="fast",
         **kwargs,
     ):
@@ -110,6 +110,13 @@ class PoissonFactorization(BayesianModel):
 
         self.u_tau_scale = u_tau_scale
         self.s_tau_scale = s_tau_scale
+        if fused_likelihood is None:
+            # Pallas fused decode+likelihood wins ~3x on TPU (bench r1:
+            # 39,954 vs 13,625 rows/sec); CPU keeps the XLA path (exact
+            # autodiff, no interpret-mode overhead)
+            import jax as _jax
+
+            fused_likelihood = _jax.default_backend() == "tpu"
         self.fused_likelihood = fused_likelihood
         self.gamma_sampler = gamma_sampler
         self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)

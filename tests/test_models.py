@@ -215,3 +215,15 @@ def test_legacy_api():
     # surrogate_distribution.sample(n) notebook API
     s = m.surrogate_distribution.sample(5)
     assert s["u"].shape == (5, D, P)
+
+
+def test_load_model_roundtrip(tmp_path, pois):
+    from spmf_tpu.models import load_model
+
+    path = str(tmp_path / "m2.npz")
+    pois.save(path)
+    m2 = load_model(path)
+    assert type(m2).__name__ == "PoissonFactorization"
+    np.testing.assert_allclose(
+        np.asarray(m2.encode(X[:4])), np.asarray(pois.encode(X[:4])), rtol=1e-6
+    )
