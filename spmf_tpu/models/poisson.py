@@ -521,9 +521,13 @@ class PoissonFactorization(BayesianModel):
 
     def _can_fuse(self):
         """Fused kernel only for the stock Poisson decode path: no subclass
-        likelihood/encode overrides, no user-supplied decoder."""
+        likelihood/encode overrides, no user-supplied decoder, and no device
+        mesh (the kernel carries no sharding annotations and its global-min
+        phase would need a cross-device reduction; the XLA path's reductions
+        get the right collectives inserted automatically)."""
         return (
             self.fused_likelihood
+            and self.mesh is None
             and type(self)._observation_distribution
             is PoissonFactorization._observation_distribution
             and type(self).log_likelihood_components

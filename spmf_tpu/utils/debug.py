@@ -20,7 +20,7 @@ __all__ = ["debug_nans", "check_finite"]
 def debug_nans(enable: bool = True):
     """Scoped jax_debug_nans: any NaN produced inside raises with the
     offending primitive."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield
