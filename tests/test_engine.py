@@ -132,3 +132,44 @@ def test_checkpoint_dir_writes_files(tmp_path):
 
     files = glob.glob(os.path.join(str(tmp_path), "*", "*.npz"))
     assert files, "no checkpoints written"
+
+
+def test_aux_broadcast_shapes_and_unbiasedness():
+    """aux-broadcast mode: broadcast vars carry no sample dim, logq stays
+    (S,)-shaped, and the ELBO estimate agrees in expectation with the
+    fully-independent estimator."""
+    import jax.numpy as jnp
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import ArrayDataset
+
+    rng = np.random.default_rng(0)
+    Xc = rng.poisson(1.0, (100, 6))
+    data = ArrayDataset({"counts": Xc, "indices": np.arange(100)}).batch(100)
+    m_ind = PoissonFactorization(latent_dim=2, feature_dim=6, u_tau_scale=0.1,
+                                 dtype="float64", data=data)
+    m_bc = PoissonFactorization(latent_dim=2, feature_dim=6, u_tau_scale=0.1,
+                                dtype="float64", aux_broadcast=True, data=data)
+    key = jax.random.PRNGKey(0)
+    s, lq = m_bc._surrogate.sample_and_log_prob(m_bc.surrogate_params, key, (5,))
+    assert s["u"].shape == (5, 6, 2)
+    assert s["u_eta"].shape == (6, 2)  # broadcast: no sample dim
+    assert lq.shape == (5,)
+    batch = next(iter(data))
+    lp = m_bc.unormalized_log_prob(data=batch, **s)
+    assert lp.shape == (5,)
+
+    # expectation agreement (same init params): average ELBO over many keys
+    def elbo(m, key, n):
+        s, lq = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (n,))
+        lp = m.unormalized_log_prob(data=batch, **s)
+        return jnp.mean(lp - lq)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 40)
+    e_ind = np.mean([float(elbo(m_ind, k, 8)) for k in keys])
+    e_bc = np.mean([float(elbo(m_bc, k, 8)) for k in keys])
+    np.testing.assert_allclose(e_bc, e_ind, rtol=0.05)
+
+    # and it trains
+    losses = m_bc.fit(batched_data_factory=data, num_steps=2, learning_rate=0.1,
+                      sample_size=4, verbose=False)
+    assert np.isfinite(losses).all()
