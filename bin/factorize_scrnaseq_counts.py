@@ -51,7 +51,12 @@ def main():
     # (reference factorize_scrnaseq_counts.py:48-65)
     after = np.median(np.asarray(X.sum(1)))
     row_size_factors = X.sum(1) / after
+    # guard all-zero genes (the reference assumes preprocess_scrnaseq_counts
+    # already filtered min_cells>=3; a zero column norm would divide by zero
+    # in the encoder — same zero->1 semantics as compute_scales,
+    # reference poisson.py:142-149)
     col_norm = X.mean(0)
+    col_norm = np.where(col_norm > 0, col_norm, 1.0)
     row_norm = row_size_factors
 
     data = (

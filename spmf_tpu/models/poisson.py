@@ -159,10 +159,22 @@ class PoissonFactorization(BayesianModel):
 
     def compute_scales(self, data_factory=None, compute_normalization=True, n=None):
         """One full pass for column stats -> eta_i, xi_u_global
-        (reference poisson.py:113-154)."""
+        (reference poisson.py:113-154).
+
+        ``compute_normalization=False`` (explicit column_norms given) keeps
+        the user's eta_i but, when ``scale_rows`` is on, STILL computes
+        xi_u_global: the reference leaves it at 1.0 in that case, so encode's
+        row scaling multiplies by raw row sums (hundreds for scRNA data) and
+        the exp decoder overflows — a latent reference bug that float64
+        merely hides."""
         factory = as_data_factory(data_factory) or self.data
-        if not (self.scale_columns and compute_normalization):
+        need_eta = self.scale_columns and compute_normalization
+        need_xi = self.scale_columns and self.scale_rows and bool(
+            np.all(np.asarray(self.xi_u_global) == 1.0)
+        )
+        if not (need_eta or need_xi):
             return
+        compute_normalization = need_eta
         print("Looping through the entire dataset once to get some stats")
         colsums = None
         col_nonzero = None
@@ -176,9 +188,10 @@ class PoissonFactorization(BayesianModel):
         with np.errstate(divide="ignore", invalid="ignore"):
             colmeans_nonzero = colsums / col_nonzero
         rowmean_nonzero = np.nansum(colmeans_nonzero)
-        self.eta_i = jnp.asarray(
-            np.where(colmeans_nonzero > 1, colmeans_nonzero, 1.0), self.dtype
-        )
+        if compute_normalization:
+            self.eta_i = jnp.asarray(
+                np.where(colmeans_nonzero > 1, colmeans_nonzero, 1.0), self.dtype
+            )
         if self.scale_rows:
             self.xi_u_global = jnp.asarray(rowmean_nonzero, self.dtype)
         else:
@@ -525,6 +538,10 @@ class PoissonFactorization(BayesianModel):
         ll = self.log_likelihood_components(data=data, **params)["log_likelihood"]
         finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
         min_val = jnp.min(finite) - 10.0
+        if self.dtype == jnp.float32:
+            # keep sum(clip(ll, min_val, 0)) representable (see
+            # spmf_tpu.ops.fused_poisson._floor_min_val)
+            min_val = jnp.maximum(min_val, jnp.float32(-1e27))
         ll = jnp.clip(ll, min_val, 0.0)
         ll = jnp.where(jnp.isfinite(ll), ll, min_val)
         prior_parts["x"] = jnp.sum(ll, axis=(-1, -2))

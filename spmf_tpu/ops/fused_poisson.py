@@ -59,6 +59,17 @@ def _safe_log(rate):
     return jnp.where(rate < 0, jnp.nan, out)
 
 
+def _floor_min_val(min_val):
+    """Clamp the data-dependent clip bound: in float32 a legitimate-but-
+    astronomical finite log-likelihood (e.g. -1e38 from an overflowing exp
+    decoder) would make sum(clip(ll, min_val, 0)) overflow to -inf across
+    ~1e8 entries. -1e27 x 1e8 stays representable; any run operating down
+    here is in rescue mode, not inference. float64 keeps the exact bound."""
+    if min_val.dtype == jnp.float32:
+        return jnp.maximum(min_val, jnp.float32(-1e27))
+    return min_val
+
+
 def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
     """Pure-XLA implementation of the exact same semantics (the default
     training path; keeps full autodiff including the clip-bound gradient)."""
@@ -66,7 +77,7 @@ def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
     rate = _decode_rate(theta_v, eta, phi, log_transform)
     ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
     finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
-    min_val = jnp.min(finite) - 10.0
+    min_val = _floor_min_val(jnp.min(finite) - 10.0)
     ll = jnp.clip(ll, min_val, 0.0)
     ll = jnp.where(jnp.isfinite(ll), ll, min_val)
     return jnp.sum(ll, axis=(-1, -2))
@@ -111,7 +122,7 @@ def _kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
 
         @pl.when(p == 1)
         def _phase_sum():
-            min_val = min_ref[0] - 10.0
+            min_val = jnp.maximum(min_ref[0] - 10.0, jnp.float32(-1e27))
             llc = jnp.clip(ll, min_val, 0.0)
             llc = jnp.where(finite, llc, min_val)
             llc = jnp.where(in_bounds, llc, 0.0)
@@ -196,7 +207,9 @@ def _bwd(log_transform, interpret, res, g):
     rate = _decode_rate(tv, eta, phi, log_transform)
     ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
     finite = jnp.isfinite(ll)
-    min_val = jnp.min(jnp.where(finite, ll, jnp.zeros_like(ll))) - 10.0
+    min_val = _floor_min_val(
+        jnp.min(jnp.where(finite, ll, jnp.zeros_like(ll))) - 10.0
+    )
     active = finite & (ll > min_val) & (ll < 0.0)
     # d ll / d rate = x / rate - 1 where active (rate floored like the log)
     rate_safe = jnp.maximum(rate, jnp.finfo(rate.dtype).tiny)
