@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 D, P, B, S = 20000, 32, 1024, 8
-WARMUP, ITERS = 3, 20
+WARMUP, ITERS = 5, 40
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 

@@ -35,30 +35,80 @@ __all__ = ["sample_gamma", "wilson_hilferty_gamma"]
 _BOOST = 8
 
 
-def wilson_hilferty_gamma(key, concentration, boost: int = _BOOST):
-    """Pathwise-differentiable Gamma(concentration, 1) sampler."""
-    a = concentration
-    kn, ku = jax.random.split(key)
+def _wh_value(a, eps, s1, boost):
+    """x = (a+B) * max(c, 0.05)^3 * exp(s1), floored at sqrt(tiny)."""
     ab = a + float(boost)
-    eps = jax.random.normal(kn, jnp.shape(a), jnp.result_type(a))
     c = 1.0 - 1.0 / (9.0 * ab) + eps / (3.0 * jnp.sqrt(ab))
-    # the WH cube can go non-positive ~1e-5 of the time at shape 8; clamp
-    g = ab * jnp.maximum(c, 0.05) ** 3
-    if boost > 0:
-        u = jax.random.uniform(
-            ku, (boost,) + jnp.shape(a), jnp.result_type(a),
-            minval=jnp.finfo(jnp.result_type(a)).tiny, maxval=1.0,
-        )
-        i = jnp.arange(boost, dtype=jnp.result_type(a)).reshape(
-            (boost,) + (1,) * jnp.ndim(a)
-        )
-        # log prod U_i^{1/(a+i)} = sum log(U_i) / (a + i)
-        g = g * jnp.exp(jnp.sum(jnp.log(u) / (a + i), axis=0))
+    g = ab * jnp.maximum(c, 0.05) ** 3 * jnp.exp(s1)
     # random.uniform hits its minval with prob ~2^-24 per draw; for small
     # concentrations log(minval)/a then underflows g to exactly 0 in f32 and
     # the downstream InverseGamma sample b/g becomes inf (-> -inf + inf NaNs
     # in the ELBO). Floor at sqrt(tiny) — below any legit operating point.
     return jnp.maximum(g, jnp.sqrt(jnp.finfo(jnp.result_type(a)).tiny))
+
+
+def _make_wh_reduce(boost: int):
+    @jax.custom_vjp
+    def wh_reduce(a, eps, logu):
+        i = jnp.arange(boost, dtype=jnp.result_type(a)).reshape(
+            (boost,) + (1,) * jnp.ndim(a)
+        )
+        s1 = jnp.sum(logu / (a + i), axis=0)
+        return _wh_value(a, eps, s1, boost)
+
+    def fwd(a, eps, logu):
+        i = jnp.arange(boost, dtype=jnp.result_type(a)).reshape(
+            (boost,) + (1,) * jnp.ndim(a)
+        )
+        w = 1.0 / (a + i)
+        s1 = jnp.sum(logu * w, axis=0)
+        s2 = jnp.sum(logu * w * w, axis=0)
+        x = _wh_value(a, eps, s1, boost)
+        # compact residuals: the (boost, ...) logu tensor is NOT retained —
+        # the backward only needs the two weighted sums (8x less memory)
+        return x, (a, eps, s1, s2, x)
+
+    def bwd(res, gx):
+        a, eps, s1, s2, x = res
+        ab = a + float(boost)
+        sqrt_ab = jnp.sqrt(ab)
+        c = 1.0 - 1.0 / (9.0 * ab) + eps / (3.0 * sqrt_ab)
+        cc = jnp.maximum(c, 0.05)
+        active_c = (c > 0.05).astype(x.dtype)
+        floor = jnp.sqrt(jnp.finfo(x.dtype).tiny)
+        not_floored = (x > floor).astype(x.dtype)
+        # d log x / da = 1/ab + 3 (dc/da)/cc [c>.05] - s2
+        dc_da = 1.0 / (9.0 * ab * ab) - eps / (6.0 * ab * sqrt_ab)
+        dlogx_da = 1.0 / ab + 3.0 * active_c * dc_da / cc - s2
+        da = gx * x * dlogx_da * not_floored
+        # d log x / d eps = [c>.05] / (cc * sqrt(ab))
+        deps = gx * x * active_c / (cc * sqrt_ab) * not_floored
+        return da, deps, jnp.zeros((boost,) + a.shape, a.dtype)
+
+    wh_reduce.defvjp(fwd, bwd)
+    return wh_reduce
+
+
+_WH_REDUCE = {b: _make_wh_reduce(b) for b in (_BOOST,)}
+
+
+def wilson_hilferty_gamma(key, concentration, boost: int = _BOOST):
+    """Pathwise-differentiable Gamma(concentration, 1) sampler (module
+    docstring). Hand-written VJP: the backward uses two weighted log-uniform
+    sums saved at forward time instead of retaining the (boost, ...) uniform
+    tensor, and is pure elementary ops."""
+    a = concentration
+    kn, ku = jax.random.split(key)
+    eps = jax.random.normal(kn, jnp.shape(a), jnp.result_type(a))
+    if boost == 0:
+        return _wh_value(a, eps, jnp.zeros_like(a), 0)
+    u = jax.random.uniform(
+        ku, (boost,) + jnp.shape(a), jnp.result_type(a),
+        minval=jnp.finfo(jnp.result_type(a)).tiny, maxval=1.0,
+    )
+    logu = jnp.log(u)
+    fn = _WH_REDUCE.get(boost) or _make_wh_reduce(boost)
+    return fn(a, eps, logu)
 
 
 def sample_gamma(key, concentration, method: str = "exact"):

@@ -32,8 +32,11 @@ def test_debug_nans_context():
     prev = jax.config.jax_debug_nans
     with debug_nans(True):
         assert jax.config.jax_debug_nans is True
+        # fresh jit fn: a dispatch-cache hit from earlier tests would bypass
+        # the nan check (known jax_debug_nans caveat)
+        f = jax.jit(lambda t: jnp.log(t) * 2.0)
         with pytest.raises(FloatingPointError):
-            jnp.log(jnp.array(-1.0)) + 1.0
+            f(jnp.array(-1.2345))
     assert jax.config.jax_debug_nans == prev
 
 
