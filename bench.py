@@ -34,10 +34,14 @@ def build_step(model, optimizer, batch_rows):
     import optax
 
     surrogate = model._surrogate
+    draw = jax.checkpoint(
+        lambda p, key: surrogate.sample_and_log_prob(p, key, (S,)),
+        policy=jax.checkpoint_policies.nothing_saveable,
+    )
 
     def train_step(params, opt_state, key, batch):
         def loss_fn(p):
-            samples, logq = surrogate.sample_and_log_prob(p, key, (S,))
+            samples, logq = draw(p, key)
             lp = model.unormalized_log_prob(data=batch, **samples)
             return -jnp.mean(lp - logq) / batch_rows
 
