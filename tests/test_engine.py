@@ -173,3 +173,43 @@ def test_aux_broadcast_shapes_and_unbiasedness():
     losses = m_bc.fit(batched_data_factory=data, num_steps=2, learning_rate=0.1,
                       sample_size=4, verbose=False)
     assert np.isfinite(losses).all()
+
+
+def test_nonfinite_loss_recovery():
+    """Engine divergence path: a NaN epoch must restore best params and halve
+    the learning rate rather than poisoning the run (SURVEY.md §2.9's
+    plateau-restore doubling as divergence recovery)."""
+    x, surrogate, energy = _gaussian_problem()
+    bad = x.copy()
+    bad[0] = np.nan
+    seq = {"i": 0}
+
+    def factory():
+        seq["i"] += 1
+        if seq["i"] == 3:  # third epoch diverges
+            return iter(ArrayDataset({"counts": bad}).batch(64))
+        return iter(ArrayDataset({"counts": x}).batch(64))
+
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), factory,
+        sample_size=8, num_steps=5, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    # run survived the poisoned epoch: params finite, lr halved once
+    flat, _ = jax.tree_util.tree_flatten(result.params)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
+    assert result.learning_rate == 0.05
+    assert any(not np.isfinite(l) for l in result.losses)
+    assert np.isfinite(result.losses[-1])
+
+
+def test_fused_guard_disabled_under_mesh():
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.parallel import data_parallel_mesh
+
+    m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                             dtype="float64", scale_columns=False,
+                             fused_likelihood=True)
+    assert m._can_fuse() is True or m.fused_likelihood  # no mesh: allowed
+    m.mesh = data_parallel_mesh(2)
+    assert not m._can_fuse()
