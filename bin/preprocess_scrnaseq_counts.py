@@ -2,44 +2,127 @@
 """Preprocess 10x scRNA-seq data into the npy triplet consumed by
 factorize_scrnaseq_counts.py.
 
-Rebuild of reference bin/preprocess_scrnaseq_counts.py:1-115: scanpy 10x
-ingest, QC filtering (min_genes=200, min_cells=3, mito%<5, counts<2500),
-HVG ranking by normalized dispersion, PCA/neighbors/leiden/UMAP embeddings,
-saves ``<name>_counts.npy``, ``<name>_genenames.npy``,
-``<name>_UMAP_scanpy.npy``. scanpy/umap are gated: they are not part of the
-baked environment, so this script degrades with a clear message (the
-downstream pipeline consumes the npy files regardless of their producer).
+Rebuild of reference bin/preprocess_scrnaseq_counts.py:1-115: 10x ingest, QC
+filtering (min_genes=200, min_cells=3, mito%<5, counts<2500), HVG ranking by
+normalized dispersion, embedding; saves ``<name>_counts.npy``,
+``<name>_genenames.npy``, ``<name>_UMAP_scanpy.npy``.
+
+Two backends:
+- ``--backend scanpy`` — faithful reference path (scanpy/leiden/paga/UMAP);
+  requires scanpy, which is not in the baked TPU image.
+- ``--backend numpy`` (default when scanpy is missing) — dependency-free
+  rebuild: native-C++ MatrixMarket ingest (spmf_tpu.data.native), the same
+  QC thresholds, dispersion-based HVG ranking, and a PCA 2-D embedding
+  saved under the same filename (documented stand-in for UMAP; the
+  downstream factorization never reads the embedding, it is only used for
+  scatter plots).
 """
 import argparse
+import os
 import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--datapath", required=True,
-                    help="directory containing the 10x mtx data")
-    ap.add_argument("--dataset", default="pbmc3k")
-    ap.add_argument("--n-top-genes", type=int, default=1000)
-    args = ap.parse_args()
 
-    try:
-        import scanpy as sc
-    except ImportError:
-        sys.exit(
-            "scanpy is required for 10x preprocessing and is not installed in "
-            "this environment. Produce <name>_counts.npy / <name>_genenames.npy "
-            "by any other means and run factorize_scrnaseq_counts.py directly."
-        )
+def _numpy_backend(datapath, name, n_top_genes):
+    from spmf_tpu.data.sparse import SparseCounts
 
-    datapath = args.datapath.rstrip("/") + "/"
-    name = args.dataset
+    mtx = None
+    for cand in ("matrix.mtx", "matrix.mtx.gz"):
+        p = os.path.join(datapath, cand)
+        if os.path.exists(p):
+            mtx = p
+            break
+    if mtx is None:
+        sys.exit(f"no matrix.mtx under {datapath}")
+    if mtx.endswith(".gz"):
+        import gzip, tempfile, shutil
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".mtx", delete=False)
+        with gzip.open(mtx, "rb") as f:
+            shutil.copyfileobj(f, tmp)
+        tmp.close()
+        mtx = tmp.name
+
+    # 10x stores genes x cells; transpose to cells x genes
+    sp = SparseCounts.from_mtx(mtx, transpose=True)
+    genes_file = None
+    for cand in ("features.tsv", "genes.tsv", "features.tsv.gz", "genes.tsv.gz"):
+        p = os.path.join(datapath, cand)
+        if os.path.exists(p):
+            genes_file = p
+            break
+    if genes_file:
+        import gzip
+
+        opener = gzip.open if genes_file.endswith(".gz") else open
+        with opener(genes_file, "rt") as f:
+            rows = [line.rstrip("\n").split("\t") for line in f]
+        gene_names = np.array([r[1] if len(r) > 1 else r[0] for r in rows])
+    else:
+        gene_names = np.array([f"G{i}" for i in range(sp.shape[1])])
+
+    X = sp.row_slab(np.arange(sp.shape[0]))  # dense cells x genes
+
+    # QC (reference thresholds, preprocess_scrnaseq_counts.py:37-52)
+    genes_per_cell = (X > 0).sum(1)
+    cells_per_gene = (X > 0).sum(0)
+    keep_cells = genes_per_cell >= 200
+    keep_genes = cells_per_gene >= 3
+    X = X[keep_cells][:, keep_genes]
+    gene_names = gene_names[keep_genes]
+    is_mt = np.char.startswith(np.char.upper(gene_names.astype(str)), "MT-")
+    counts_per_cell = X.sum(1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct_mt = 100.0 * X[:, is_mt].sum(1) / np.maximum(counts_per_cell, 1)
+    genes_by_counts = (X > 0).sum(1)
+    keep = (pct_mt < 5.0) & (genes_by_counts < 2500)
+    X = X[keep]
+
+    # HVG: normalized dispersion on the normalize_total+log1p view
+    # (reference :58-78)
+    lib = np.maximum(X.sum(1, keepdims=True), 1.0)
+    view = np.log1p(X / lib * 1e4)
+    mean = view.mean(0)
+    var = view.var(0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dispersion = np.where(mean > 0, var / np.maximum(mean, 1e-12), 0.0)
+    # z-score dispersion within mean-bins (scanpy's normalized dispersion)
+    bins = np.digitize(mean, np.quantile(mean, np.linspace(0, 1, 21)[1:-1]))
+    disp_norm = np.zeros_like(dispersion)
+    for b in np.unique(bins):
+        m = bins == b
+        mu, sd = dispersion[m].mean(), dispersion[m].std() + 1e-12
+        disp_norm[m] = (dispersion[m] - mu) / sd
+    order = np.argsort(-disp_norm)
+
+    X = X[:, order]
+    gene_names = gene_names[order]
+
+    # embedding: top-2 PCs of the scaled log view (UMAP stand-in)
+    v = view[:, order[: min(2000, view.shape[1])]]
+    v = (v - v.mean(0)) / (v.std(0) + 1e-8)
+    v = np.clip(v, -10, 10)
+    u_svd, s_svd, _ = np.linalg.svd(v, full_matrices=False)
+    embedding = u_svd[:, :2] * s_svd[:2]
+
+    np.save(os.path.join(datapath, name + "_counts.npy"), X[:, :n_top_genes])
+    np.save(os.path.join(datapath, name + "_genenames.npy"),
+            gene_names[:n_top_genes])
+    np.save(os.path.join(datapath, name + "_UMAP_scanpy.npy"), embedding)
+    print(
+        f"Saved {name}_counts.npy {X[:, :n_top_genes].shape}, genenames, "
+        f"PCA embedding to {datapath} (numpy backend)"
+    )
+
+
+def _scanpy_backend(datapath, name, n_top_genes):
+    import scanpy as sc
 
     adata = sc.read_10x_mtx(datapath, var_names="gene_symbols", cache=True)
     adata.var_names_make_unique()
-
-    # QC (reference preprocess_scrnaseq_counts.py:37-52)
     sc.pp.filter_cells(adata, min_genes=200)
     sc.pp.filter_genes(adata, min_cells=3)
     adata.var["mt"] = adata.var_names.str.startswith("MT-")
@@ -48,20 +131,16 @@ def main():
     )
     adata = adata[adata.obs.pct_counts_mt < 5, :]
     adata = adata[adata.obs.n_genes_by_counts < 2500, :]
-
     counts = adata.X.toarray() if hasattr(adata.X, "toarray") else np.asarray(adata.X)
 
-    # HVG on normalize_total + log1p view (reference :58-78)
     view = adata.copy()
     sc.pp.normalize_total(view, target_sum=1e4)
     sc.pp.log1p(view)
-    sc.pp.highly_variable_genes(view, n_top_genes=args.n_top_genes)
+    sc.pp.highly_variable_genes(view, n_top_genes=n_top_genes)
     order = np.argsort(-view.var["dispersions_norm"].values)
-
     counts = counts[:, order]
     gene_names = np.asarray(adata.var_names)[order]
 
-    # embeddings (reference :82-94)
     sc.pp.scale(view, max_value=10)
     sc.tl.pca(view, svd_solver="arpack")
     sc.pp.neighbors(view, n_neighbors=10, n_pcs=40)
@@ -73,10 +152,37 @@ def main():
     except Exception:
         sc.tl.umap(view)
 
-    np.save(datapath + name + "_counts.npy", counts)
-    np.save(datapath + name + "_genenames.npy", gene_names)
-    np.save(datapath + name + "_UMAP_scanpy.npy", view.obsm["X_umap"])
+    np.save(os.path.join(datapath, name + "_counts.npy"), counts)
+    np.save(os.path.join(datapath, name + "_genenames.npy"), gene_names)
+    np.save(os.path.join(datapath, name + "_UMAP_scanpy.npy"),
+            view.obsm["X_umap"])
     print(f"Saved {name}_counts.npy {counts.shape}, genenames, UMAP to {datapath}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datapath", required=True,
+                    help="directory containing the 10x mtx data")
+    ap.add_argument("--dataset", default="pbmc3k")
+    ap.add_argument("--n-top-genes", type=int, default=1000)
+    ap.add_argument("--backend", choices=("auto", "scanpy", "numpy"),
+                    default="auto")
+    args = ap.parse_args()
+
+    backend = args.backend
+    if backend == "auto":
+        try:
+            import scanpy  # noqa: F401
+
+            backend = "scanpy"
+        except ImportError:
+            backend = "numpy"
+
+    datapath = args.datapath.rstrip("/")
+    if backend == "scanpy":
+        _scanpy_backend(datapath + "/", args.dataset, args.n_top_genes)
+    else:
+        _numpy_backend(datapath, args.dataset, args.n_top_genes)
 
 
 if __name__ == "__main__":
