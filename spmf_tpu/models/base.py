@@ -150,6 +150,12 @@ class BayesianModel:
         factory = as_data_factory(batched_data_factory) or self.data
         if factory is None:
             raise ValueError("No data bound: pass batched_data_factory or set_data()")
+        engine_kwargs = {
+            k: kwargs[k]
+            for k in ("profile_dir", "remat_sampling", "convergence_window",
+                      "opt_state")
+            if k in kwargs
+        }
         result = fit_surrogate_posterior(
             energy_fn=self._energy,
             surrogate=self._surrogate,
@@ -171,6 +177,7 @@ class BayesianModel:
             mesh=self.mesh,
             checkpoint_dir=checkpoint_dir,
             verbose=verbose,
+            **engine_kwargs,
         )
         self.surrogate_params = result.params
         self.last_fit = result
