@@ -170,7 +170,9 @@ def fit_surrogate_posterior(
     say(f"Initial loss: {initial_loss}")
 
     losses: List[float] = [initial_loss]
-    best_loss = initial_loss
+    # a non-finite initial loss must not poison the best-loss tracking
+    # (nan comparisons are always False -> no checkpoint would ever be saved)
+    best_loss = initial_loss if np.isfinite(initial_loss) else np.inf
     best_params = _snapshot(params)
     best_opt_state = _snapshot(opt_state)
     lr = learning_rate

@@ -213,3 +213,34 @@ def test_fused_guard_disabled_under_mesh():
     assert m._can_fuse() is True or m.fused_likelihood  # no mesh: allowed
     m.mesh = data_parallel_mesh(2)
     assert not m._can_fuse()
+
+
+def test_nonfinite_initial_loss_does_not_poison_best_tracking():
+    """If the very first evaluation is non-finite, finite later epochs must
+    still register as improvements (nan best_loss would compare False
+    forever)."""
+    x, surrogate, energy = _gaussian_problem()
+    bad = x.copy()
+    bad[0] = np.nan
+    seq = {"i": 0}
+
+    def factory():
+        seq["i"] += 1
+        # the engine draws the FIRST factory call for the initial loss
+        if seq["i"] == 1:
+            return iter(ArrayDataset({"counts": bad}).batch(64))
+        return iter(ArrayDataset({"counts": x}).batch(64))
+
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), factory,
+        sample_size=8, num_steps=4, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    assert not np.isfinite(result.losses[0])
+    finite = [l for l in result.losses[1:] if np.isfinite(l)]
+    assert finite
+    # best-params restore must reflect a finite epoch (loss improved over
+    # the first finite epoch is not guaranteed, but params must be finite
+    # and the final returned losses must include improvements)
+    flat, _ = jax.tree_util.tree_flatten(result.params)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
