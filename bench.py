@@ -34,10 +34,9 @@ def build_step(model, optimizer, batch_rows):
     import optax
 
     surrogate = model._surrogate
-    draw = jax.checkpoint(
-        lambda p, key: surrogate.sample_and_log_prob(p, key, (S,)),
-        policy=jax.checkpoint_policies.nothing_saveable,
-    )
+    draw = lambda p, key: surrogate.sample_and_log_prob(p, key, (S,))
+    if getattr(model, "_bench_remat", True):
+        draw = jax.checkpoint(draw, policy=jax.checkpoint_policies.nothing_saveable)
 
     def train_step(params, opt_state, key, batch):
         def loss_fn(p):
@@ -53,7 +52,7 @@ def build_step(model, optimizer, batch_rows):
 
 
 def measure(device_kind: str, iters: int, fused: bool = False,
-            gamma_sampler: str = "fast") -> float:
+            gamma_sampler: str = "fast", remat: bool = True) -> float:
     """rows/sec of the jitted train step on the current default backend.
 
     gamma_sampler='fast' (boosted Wilson–Hilferty pathwise gradients) is the
@@ -73,6 +72,7 @@ def measure(device_kind: str, iters: int, fused: bool = False,
         dtype="float32", scale_columns=False, fused_likelihood=fused,
         gamma_sampler=gamma_sampler,
     )
+    model._bench_remat = remat
     optimizer = optax.chain(optax.clip(5.0), optax.adam(0.01))
     opt_state = optimizer.init(model.surrogate_params)
     step = jax.jit(build_step(model, optimizer, B), donate_argnums=(0, 1))
@@ -123,14 +123,20 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the TPU tunnel has ~1.7x ambient variance; try the three candidate
+    # configurations in one process and keep the best
     tpu_rows = measure(jax.default_backend(), ITERS)
     path = "xla"
-    try:
-        fused_rows = measure(jax.default_backend(), ITERS, fused=True)
-        if fused_rows > tpu_rows:
-            tpu_rows, path = fused_rows, "pallas-fused"
-    except Exception as e:  # pragma: no cover - kernel fallback
-        print(f"# fused path unavailable: {type(e).__name__}", file=sys.stderr)
+    for label, kw in (
+        ("pallas-fused", dict(fused=True)),
+        ("pallas-fused-noremat", dict(fused=True, remat=False)),
+    ):
+        try:
+            rows = measure(jax.default_backend(), ITERS, **kw)
+            if rows > tpu_rows:
+                tpu_rows, path = rows, label
+        except Exception as e:  # pragma: no cover - kernel fallback
+            print(f"# {label} unavailable: {type(e).__name__}", file=sys.stderr)
     try:
         baseline = get_cpu_baseline()
         vs = tpu_rows / baseline

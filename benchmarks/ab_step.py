@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Same-process A/B harness for training-step configurations.
+
+The TPU tunnel shows ~1.7x ambient run-to-run variance (docs/ROADMAP.md), so
+perf comparisons are only trustworthy within one process. Usage:
+
+    python benchmarks/ab_step.py                       # default matrix
+    python benchmarks/ab_step.py --configs fused,xla   # named subset
+
+Named configs: xla, fused, exact-gamma, no-remat, aux-broadcast.
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+S, B, D, P = 8, 1024, 20000, 32
+
+CONFIGS = {
+    "fused": dict(fused_likelihood=True, gamma_sampler="fast"),
+    "xla": dict(fused_likelihood=False, gamma_sampler="fast"),
+    "exact-gamma": dict(fused_likelihood=True, gamma_sampler="exact"),
+    "no-remat": dict(fused_likelihood=True, gamma_sampler="fast", remat=False),
+    "aux-broadcast": dict(fused_likelihood=True, gamma_sampler="fast",
+                          aux_broadcast=True),
+}
+
+
+def run(name, cfg, X, iters=30):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spmf_tpu import PoissonFactorization
+
+    remat = cfg.pop("remat", True)
+    model = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
+        dtype="float32", scale_columns=False, **cfg,
+    )
+    sur = model._surrogate
+    opt = optax.chain(optax.clip(5.0), optax.adam(0.01))
+    o = opt.init(model.surrogate_params)
+
+    draw = lambda p, k: sur.sample_and_log_prob(p, k, (S,))
+    if remat:
+        draw = jax.checkpoint(draw, policy=jax.checkpoint_policies.nothing_saveable)
+
+    @jax.jit
+    def step(p, o, key, x):
+        def f(p_):
+            s, lq = draw(p_, key)
+            lp = model.unormalized_log_prob(data={"counts": x}, **s)
+            return -jnp.mean(lp - lq) / B
+
+        loss, g = jax.value_and_grad(f)(p)
+        u, o2 = opt.update(g, o, p)
+        return optax.apply_updates(p, u), o2, loss
+
+    k = jax.random.PRNGKey(0)
+    p, o2, l = step(model.surrogate_params, o, k, X)
+    jax.block_until_ready(p)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, o2, l = step(p, o2, jax.random.fold_in(k, i), X)
+    jax.block_until_ready(p)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:>14s}: {dt*1000:7.1f} ms/step  {B/dt:9.0f} rows/sec  "
+          f"loss={float(l):.4g}")
+    return B / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="xla,fused,no-remat")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.poisson(1.0, (B, D)), jnp.float32)
+    for name in args.configs.split(","):
+        run(name, dict(CONFIGS[name]), X, args.iters)
+
+
+if __name__ == "__main__":
+    main()
