@@ -13,6 +13,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
@@ -68,7 +69,13 @@ void* csv_parse(const char* path) {
     if (c == ',' || c == ' ' || c == '\t' || c == '\r') { ++p; continue; }
     char* next = nullptr;
     double v = std::strtod(p, &next);
-    if (next == p) { ++p; continue; }  // unparseable char
+    if (next == p) {
+      // A token that is not a number (e.g. a header row "gene1,gene2")
+      // must fail the whole parse, triggering the numpy fallback (which
+      // raises) — skipping bytes here would silently fabricate data.
+      delete buf;
+      return nullptr;
+    }
     buf->values.push_back(v);
     cols_this_row++;
     p = next;
@@ -108,6 +115,22 @@ void* mtx_parse(const char* path) {
   auto* buf = new Buffer();
   char* p = text.data();
   char* end = p + text.size() - 1;
+  // Validate the MatrixMarket banner: only 'coordinate real|integer
+  // general' is supported — 'pattern' files have no value column and would
+  // silently corrupt the triplet scan. Anything else falls back to
+  // scipy.io.mmread on the Python side.
+  if (p < end && *p == '%') {
+    char* eol = p;
+    while (eol < end && *eol != '\n') ++eol;
+    std::string banner(p, eol);
+    if (banner.rfind("%%MatrixMarket", 0) == 0) {
+      bool coord = banner.find("coordinate") != std::string::npos;
+      bool numeric = banner.find("real") != std::string::npos ||
+                     banner.find("integer") != std::string::npos;
+      bool general = banner.find("general") != std::string::npos;
+      if (!(coord && numeric && general)) { delete buf; return nullptr; }
+    }
+  }
   // skip comment lines
   while (p < end && *p == '%') {
     while (p < end && *p != '\n') ++p;
@@ -130,6 +153,12 @@ void* mtx_parse(const char* path) {
     buf->coo_rows.push_back(r - 1);
     buf->coo_cols.push_back(c - 1);
     buf->values.push_back(v);
+  }
+  // A truncated file or a mis-parsed value column shows up as a triplet
+  // count that disagrees with the header nnz.
+  if (static_cast<int64_t>(buf->values.size()) != nnz) {
+    delete buf;
+    return nullptr;
   }
   return buf;
 }

@@ -73,22 +73,28 @@ def load_csv(path: str, dtype=np.float64) -> np.ndarray:
         lib.io_free(h)
 
 
+def _mmread_coo(path: str):
+    from scipy.io import mmread
+
+    m = mmread(path).tocoo()
+    return (
+        m.row.astype(np.int64),
+        m.col.astype(np.int64),
+        m.data.astype(np.float64),
+        m.shape,
+    )
+
+
 def load_mtx_coo(path: str):
     """MatrixMarket coordinate file -> (rows, cols, values, shape)."""
     lib = _load()
     if lib is None:
-        from scipy.io import mmread
-
-        m = mmread(path).tocoo()
-        return (
-            m.row.astype(np.int64),
-            m.col.astype(np.int64),
-            m.data.astype(np.float64),
-            m.shape,
-        )
+        return _mmread_coo(path)
     h = lib.mtx_parse(path.encode())
     if not h:
-        raise IOError(f"failed to parse {path}")
+        # native parser only handles 'coordinate real|integer general';
+        # pattern/complex/symmetric files go to scipy
+        return _mmread_coo(path)
     try:
         shape = (lib.io_rows(h), lib.io_cols(h))
         nnz = lib.io_nnz(h)

@@ -73,13 +73,38 @@ class SparseCounts:
 
     # ----------------------------------------------------------- accessors
     def row_slab(self, row_ids) -> np.ndarray:
-        """Densify selected rows into a (B, D) float64 slab."""
+        """Densify selected rows into a (B, D) float64 slab.
+
+        Fully vectorized: a single fancy-indexed scatter over the batch's
+        nonzeros (the per-row Python loop was the host-side bottleneck at
+        40k+ rows/sec on a 1-core host)."""
         row_ids = np.asarray(row_ids)
+        lo = self.indptr[row_ids]
+        counts = self.indptr[row_ids + 1] - lo
+        total = int(counts.sum())
         out = np.zeros((len(row_ids), self.shape[1]))
-        for k, r in enumerate(row_ids):
-            lo, hi = self.indptr[r], self.indptr[r + 1]
-            out[k, self.indices[lo:hi]] = self.data[lo:hi]
+        if total == 0:
+            return out
+        out_rows = np.repeat(np.arange(len(row_ids)), counts)
+        # CSR positions of every nonzero in the batch: each row's run starts
+        # at lo[k] and advances by its offset within the run
+        run_starts = np.cumsum(counts) - counts
+        pos = np.repeat(lo - run_starts, counts) + np.arange(total)
+        out[out_rows, self.indices[pos]] = self.data[pos]
         return out
+
+    def batch_coo(self, row_ids):
+        """COO triplets (batch-local rows, cols, vals) of the selected rows —
+        the device-side sparse training path consumes these directly
+        (spmf_tpu.ops.sparse_encode) without densifying."""
+        row_ids = np.asarray(row_ids)
+        lo = self.indptr[row_ids]
+        counts = self.indptr[row_ids + 1] - lo
+        total = int(counts.sum())
+        out_rows = np.repeat(np.arange(len(row_ids)), counts)
+        run_starts = np.cumsum(counts) - counts
+        pos = np.repeat(lo - run_starts, counts) + np.arange(total)
+        return out_rows, self.indices[pos], self.data[pos]
 
     def col_stats(self):
         """One streaming pass: column sums + nonzero counts (compute_scales

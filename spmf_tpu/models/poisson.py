@@ -409,16 +409,10 @@ class PoissonFactorization(BayesianModel):
 
         self.prior_distribution = tfd.JointDistributionNamed(dist)
 
-        sur = {
-            "v": TransformedSurrogate(
-                TrainableNormal(-6.0 * ones(K, D), 5e-4 * ones(K, D), 2),
-                self.bijectors["v"],
-            ),
-            "w": TransformedSurrogate(
-                TrainableNormal(-6.0 * ones(1, D), 5e-4 * ones(1, D), 2),
-                self.bijectors["w"],
-            ),
-        }
+        # dispatched through the hook so subclasses control their own v/w
+        # initializations (GaussianFactorization: v loc -5, w loc +0.5,
+        # reference gaussian.py:427-443)
+        sur = dict(self._vw_surrogates(ones))
         if self.horseshoe_plus:
             sur.update(
                 u=TransformedSurrogate(
@@ -560,7 +554,10 @@ class PoissonFactorization(BayesianModel):
             is PoissonFactorization._observation_distribution
             and type(self).log_likelihood_components
             is PoissonFactorization.log_likelihood_components
+            # the decode link is baked into the kernel, so both instance- and
+            # class-level decoder overrides must disable fusion
             and "decoder_function" not in self.__dict__
+            and type(self).decoder_function is PoissonFactorization.decoder_function
         )
 
     def unormalized_log_prob(self, data=None, prior_weight=1.0, **params):

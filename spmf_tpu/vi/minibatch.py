@@ -198,6 +198,11 @@ def fit_surrogate_posterior(
                 params, opt_state, k, _device_batch(batch, dtype, mesh)
             )
             batch_losses.append(loss)
+        if not batch_losses:
+            raise ValueError(
+                "batched_data_factory() yielded no batches in epoch "
+                f"{epoch} — check batch_size/drop_remainder vs dataset size"
+            )
         jax.block_until_ready(loss)
         epoch_seconds.append(_time.perf_counter() - t_epoch)
         batch_losses = [float(l) for l in batch_losses]

@@ -121,3 +121,49 @@ def test_device_dataset_shuffles_and_feeds_fit():
     losses = m.fit(batched_data_factory=dev, num_steps=2, learning_rate=0.1,
                    sample_size=4, verbose=False)
     assert np.isfinite(losses).all()
+
+
+def test_native_csv_header_row_falls_back_and_raises(tmp_path):
+    """A header row must NOT silently become a data row (ADVICE.md r1):
+    the native parser rejects non-numeric tokens and the numpy fallback
+    raises."""
+    path = str(tmp_path / "h.csv")
+    with open(path, "w") as f:
+        f.write("gene1,gene2\n1.0,2.0\n")
+    with pytest.raises(ValueError):
+        load_csv(path)
+
+
+def test_native_mtx_pattern_file_falls_back_to_scipy(tmp_path):
+    """'pattern' MatrixMarket files (no value column) must not be parsed by
+    the native scanner (it would consume row indices as values)."""
+    path = str(tmp_path / "p.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write("3 3 2\n1 2\n3 1\n")
+    r, c, v, shape = load_mtx_coo(path)  # scipy fallback path
+    assert shape == (3, 3)
+    assert len(r) == 2
+    np.testing.assert_allclose(v, 1.0)
+
+
+def test_native_mtx_truncated_file_falls_back(tmp_path):
+    path = str(tmp_path / "t.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write("3 3 5\n1 1 2.0\n2 2 3.0\n")  # header says 5 nnz, only 2
+    from scipy.io._mmio import MMFile  # scipy will also raise on this
+    with pytest.raises(Exception):
+        load_mtx_coo(path)
+
+
+def test_row_slab_vectorized_shuffled_subsets():
+    dense = RNG.poisson(0.4, (50, 17)).astype(float)
+    dense[7] = 0.0  # an all-zero row inside the batch
+    sp = SparseCounts.from_dense(dense)
+    ids = RNG.permutation(50)[:23]
+    np.testing.assert_allclose(sp.row_slab(ids), dense[ids])
+    rows, cols, vals = sp.batch_coo(ids)
+    rebuilt = np.zeros((23, 17))
+    rebuilt[rows, cols] = vals
+    np.testing.assert_allclose(rebuilt, dense[ids])

@@ -227,3 +227,29 @@ def test_load_model_roundtrip(tmp_path, pois):
     np.testing.assert_allclose(
         np.asarray(m2.encode(X[:4])), np.asarray(pois.encode(X[:4])), rtol=1e-6
     )
+
+
+def test_gaussian_vw_surrogate_inits_dispatch_through_hook():
+    """create_distributions must honour the subclass _vw_surrogates hook
+    (ADVICE.md r1): Gaussian v loc -5, w loc +0.5 (reference
+    gaussian.py:427-443), not the Poisson -6/-6."""
+    from spmf_tpu.models import GaussianFactorization
+
+    m = GaussianFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                              dtype="float64")
+    np.testing.assert_allclose(np.asarray(m.surrogate_params["v"]["loc"]), -5.0)
+    np.testing.assert_allclose(np.asarray(m.surrogate_params["w"]["loc"]), 0.5)
+
+
+def test_class_level_decoder_override_disables_fusion():
+    """_can_fuse must reject class-level decoder_function overrides too
+    (ADVICE.md r1) — the decode link is baked into the Pallas kernel."""
+    from spmf_tpu.models import PoissonFactorization
+
+    class CustomDecode(PoissonFactorization):
+        def decoder_function(self, x):
+            return x * 2.0
+
+    m = CustomDecode(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                     dtype="float64", fused_likelihood=True)
+    assert not m._can_fuse()
