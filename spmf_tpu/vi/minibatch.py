@@ -14,7 +14,9 @@ notebook outputs (SURVEY.md §2.9):
 TPU-first design: the inner step is a single jitted function
 (sample -> energy -> entropy -> grad -> clip -> Adam update); when a
 ``jax.sharding.Mesh`` is supplied, batches are sharded over the ``dp`` axis
-and parameters replicated, letting XLA insert the gradient ``psum`` over ICI.
+and — with an ``fp`` mesh axis (``param_sharding='auto'|'fp'``) — the
+feature dim D of params and data columns is sharded over ``fp``; XLA inserts
+the gradient ``psum`` over dp and the contraction collectives over fp (ICI).
 """
 from __future__ import annotations
 
@@ -43,9 +45,19 @@ class FitResult:
     extras: Dict[str, Any] = field(default_factory=dict)
 
 
+def _fp_axis(mesh):
+    """Name of the active feature-parallel mesh axis, or None."""
+    if mesh is not None and "fp" in mesh.axis_names and mesh.shape["fp"] > 1:
+        return "fp"
+    return None
+
+
 def _device_batch(batch, dtype, mesh, data_axis="dp"):
-    """Move a dict batch to device, optionally sharded rows-over-mesh."""
+    """Move a dict batch to device: rows sharded over ``data_axis``, and the
+    feature (column) dim of 2-D arrays additionally sharded over ``fp`` when
+    the mesh has one — the dp x fp layout validated by tests/test_sharding."""
     out = {}
+    fp = _fp_axis(mesh)
     for k, v in batch.items():
         arr = jnp.asarray(v)
         if jnp.issubdtype(arr.dtype, jnp.floating):
@@ -53,8 +65,15 @@ def _device_batch(batch, dtype, mesh, data_axis="dp"):
         if mesh is not None and arr.ndim >= 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            spec = P(data_axis, *([None] * (arr.ndim - 1)))
-            arr = jax.device_put(arr, NamedSharding(mesh, spec))
+            axes = [data_axis] + [None] * (arr.ndim - 1)
+            if (
+                fp is not None
+                and arr.ndim >= 2
+                and arr.shape[1] > 1
+                and arr.shape[1] % mesh.shape[fp] == 0
+            ):
+                axes[1] = fp
+            arr = jax.device_put(arr, NamedSharding(mesh, P(*axes)))
         out[k] = arr
     return out
 
@@ -63,8 +82,23 @@ def _snapshot(tree):
     return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
-def _restore(tree_np):
-    return jax.tree_util.tree_map(jnp.asarray, tree_np)
+def _sharding_tree(tree):
+    return jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None), tree)
+
+
+def _restore(tree_np, shardings=None):
+    """Host-numpy pytree back to device, re-applying the captured shardings
+    (a plain jnp.asarray would silently de-shard fp/dp-placed params and the
+    donated jitted step would then recompile or mis-place)."""
+    if shardings is None:
+        return jax.tree_util.tree_map(jnp.asarray, tree_np)
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(np.asarray(v), s)
+        if s is not None
+        else jnp.asarray(v),
+        tree_np,
+        shardings,
+    )
 
 
 def fit_surrogate_posterior(
@@ -92,6 +126,7 @@ def fit_surrogate_posterior(
     opt_state=None,
     profile_dir: Optional[str] = None,
     remat_sampling: bool = True,
+    param_sharding: str = "auto",
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -108,11 +143,34 @@ def fit_surrogate_posterior(
     if dataset_size is not None and batch_size is not None:
         prior_weight = float(batch_size) / float(dataset_size)
 
+    # Mesh placement (SURVEY.md §5.7/5.8): rows over 'dp'; with
+    # param_sharding='fp'/'auto' and an fp mesh axis, the feature dim D of
+    # the surrogate params is sharded over 'fp' (others replicated). XLA
+    # inserts the grad psum over dp and the contraction collectives over fp.
+    data_axis = "dp"
+    if mesh is not None:
+        from spmf_tpu.parallel.mesh import replicate, shard_params_feature_dim
+
+        if "dp" not in mesh.axis_names:
+            data_axis = mesh.axis_names[0]
+        fp = _fp_axis(mesh)
+        mode = param_sharding
+        if mode == "auto":
+            mode = "fp" if fp is not None else "replicated"
+        if mode == "fp" and fp is not None:
+            params = shard_params_feature_dim(params, mesh, fp)
+        else:
+            params = replicate(params, mesh)
+
     optimizer = optax.inject_hyperparams(
         lambda lr: optax.chain(optax.clip(clip_value), optax.adam(lr))
     )(lr=learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(params)
+    # optimizer moments inherit the param shardings via zeros_like; capture
+    # both so best-checkpoint restores keep the exact device layout
+    param_shardings = _sharding_tree(params) if mesh is not None else None
+    opt_shardings = _sharding_tree(opt_state) if mesh is not None else None
 
     draw = lambda p_, k_: surrogate.sample_and_log_prob(p_, k_, (sample_size,))
     if remat_sampling:
@@ -166,7 +224,7 @@ def fit_surrogate_posterior(
     # Initial loss on the first batch (reference prints "Initial loss: ...")
     first_batch = next(iter(batched_data_factory()))
     rng, k0 = jax.random.split(rng)
-    initial_loss = float(eval_loss(params, k0, _device_batch(first_batch, dtype, mesh)))
+    initial_loss = float(eval_loss(params, k0, _device_batch(first_batch, dtype, mesh, data_axis)))
     say(f"Initial loss: {initial_loss}")
 
     losses: List[float] = [initial_loss]
@@ -195,7 +253,7 @@ def fit_surrogate_posterior(
         for batch in batched_data_factory():
             rng, k = jax.random.split(rng)
             params, opt_state, loss = step(
-                params, opt_state, k, _device_batch(batch, dtype, mesh)
+                params, opt_state, k, _device_batch(batch, dtype, mesh, data_axis)
             )
             batch_losses.append(loss)
         if not batch_losses:
@@ -217,8 +275,8 @@ def fit_surrogate_posterior(
             # divergence: restore best and decay hard (reference recovers
             # via its plateau-restore path)
             say(f"Non-finite loss; restoring from a checkpoint - loss: {best_loss}")
-            params = _restore(best_params)
-            opt_state = _restore(best_opt_state)
+            params = _restore(best_params, param_shardings)
+            opt_state = _restore(best_opt_state, opt_shardings)
             lr *= 0.5
             opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
             continue
@@ -238,8 +296,8 @@ def fit_surrogate_posterior(
             lr *= decay_rate
             say(f"We are in a loss plateau learning rate: {lr} loss: {epoch_loss}")
             say(f"Restoring from a checkpoint - loss: {best_loss}")
-            params = _restore(best_params)
-            opt_state = _restore(best_opt_state)
+            params = _restore(best_params, param_shardings)
+            opt_state = _restore(best_opt_state, opt_shardings)
             opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
             stall = 0
 
@@ -259,7 +317,7 @@ def fit_surrogate_posterior(
         profiler_cm.__exit__(None, None, None)
 
     # hand back the best parameters (matches reference restore-best behavior)
-    params = _restore(best_params)
+    params = _restore(best_params, param_shardings)
     return FitResult(
         params=params,
         losses=losses,

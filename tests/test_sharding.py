@@ -120,3 +120,51 @@ def test_graft_entry_dryrun():
     val = float(jax.jit(fn)(*args))
     assert np.isfinite(val)
     ge.dryrun_multichip(8)
+
+
+def test_fit_routes_dp_fp_sharding_and_matches_single_device():
+    """The public model.fit() on a dp x fp mesh must (a) place the surrogate
+    params feature-sharded, and (b) reproduce single-device losses exactly
+    (VERDICT r1 #3: the validated layout must be reachable from the user
+    API, not only from hand-rolled train steps)."""
+    data = {"counts": X, "indices": np.arange(B)}
+
+    ref = _model()
+    ref_losses = ref.fit(batched_data_factory=data, num_steps=3,
+                         learning_rate=0.05, sample_size=S, seed=7,
+                         verbose=False, rel_tol=None)
+
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    m = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, mesh=mesh,
+    )
+    losses = m.fit(batched_data_factory=data, num_steps=3,
+                   learning_rate=0.05, sample_size=S, seed=7,
+                   verbose=False, rel_tol=None)
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-8)
+
+    # params stayed fp-sharded through best-checkpoint restore
+    spec = m.surrogate_params["u"]["loc"].sharding.spec
+    assert "fp" in str(spec), spec
+    spec_v = m.surrogate_params["v"]["loc"].sharding.spec
+    assert "fp" in str(spec_v), spec_v
+
+    # and the calibrated expectations / encode still work on sharded params
+    z = np.asarray(m.encode(X[:4]))
+    assert np.isfinite(z).all()
+
+
+def test_fit_param_sharding_replicated_option():
+    data = {"counts": X, "indices": np.arange(B)}
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    m = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, mesh=mesh,
+    )
+    losses = m.fit(batched_data_factory=data, num_steps=2,
+                   learning_rate=0.05, sample_size=S, seed=7, verbose=False,
+                   rel_tol=None, param_sharding="replicated")
+    assert np.isfinite(losses).all()
+    spec = m.surrogate_params["u"]["loc"].sharding.spec
+    assert "fp" not in str(spec), spec
