@@ -511,17 +511,22 @@ class PoissonFactorization(BayesianModel):
         theta = self.encode(self._counts(data), params["u"], params["s"])
         prior_parts["z"] = self._theta_prior_log_prob(theta)
 
-        if self._can_fuse():
+        x = jnp.asarray(self._counts(data), self.dtype)
+        if self._can_fuse(x.shape):
             # Pallas fused decode+likelihood: identical semantics, no
-            # (S,B,D) HBM round-trips (spmf_tpu.ops.fused_poisson)
-            from spmf_tpu.ops import fused_poisson_loglik
+            # (S,B,D) HBM round-trips (spmf_tpu.ops.fused_poisson). With a
+            # mesh, the shard_map-composed variant pmin's the clip bound
+            # and psum's the sums across dp x fp.
+            from spmf_tpu.ops import (
+                fused_poisson_loglik,
+                fused_poisson_loglik_sharded,
+            )
 
-            x = jnp.asarray(self._counts(data), self.dtype)
             phi = self.intercept_matrix(params["w"], params["s"])
             B = self.decoding_matrix(params["v"])
             squeeze = theta.ndim == 2
             th = theta[None] if squeeze else theta
-            out = fused_poisson_loglik(
+            args = (
                 th,
                 B[None] if squeeze else B,
                 phi[None] if squeeze else phi,
@@ -529,7 +534,13 @@ class PoissonFactorization(BayesianModel):
                 self.eta_i,
                 self.log_transform,
                 self._fused_interpret,
-            ).astype(self.dtype)
+            )
+            if self.mesh is None:
+                out = fused_poisson_loglik(*args)
+            else:
+                out = fused_poisson_loglik_sharded(*args[:5], self.mesh,
+                                                   *args[5:])
+            out = out.astype(self.dtype)
             prior_parts["x"] = out[0] if squeeze else out
             return prior_parts
 
@@ -545,15 +556,18 @@ class PoissonFactorization(BayesianModel):
         prior_parts["x"] = jnp.sum(ll, axis=(-1, -2))
         return prior_parts
 
-    def _can_fuse(self):
+    def _can_fuse(self, batch_shape=None):
         """Fused kernel only for the stock Poisson decode path: no subclass
-        likelihood/encode overrides, no user-supplied decoder, and no device
-        mesh (the kernel carries no sharding annotations and its global-min
-        phase would need a cross-device reduction; the XLA path's reductions
-        get the right collectives inserted automatically)."""
+        likelihood/encode overrides and no user-supplied decoder. Under a
+        mesh, ``fused_poisson_loglik_sharded`` composes the kernel with the
+        dp x fp layout, provided shard_map can split the batch evenly
+        (``batch_shape``, when given, is the static (B, D) of the counts)."""
+        if batch_shape is not None and self.mesh is not None:
+            for dim, ax in zip(batch_shape[-2:], ("dp", "fp")):
+                if ax in self.mesh.axis_names and dim % self.mesh.shape[ax]:
+                    return False
         return (
             self.fused_likelihood
-            and self.mesh is None
             and type(self)._observation_distribution
             is PoissonFactorization._observation_distribution
             and type(self).log_likelihood_components

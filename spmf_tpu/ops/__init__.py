@@ -1,8 +1,13 @@
-from .fused_poisson import fused_poisson_loglik, poisson_loglik_reference
+from .fused_poisson import (
+    fused_poisson_loglik,
+    fused_poisson_loglik_sharded,
+    poisson_loglik_reference,
+)
 from .sparse_encode import sparse_encode_coo
 
 __all__ = [
     "fused_poisson_loglik",
+    "fused_poisson_loglik_sharded",
     "poisson_loglik_reference",
     "sparse_encode_coo",
 ]

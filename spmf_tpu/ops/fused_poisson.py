@@ -1,4 +1,4 @@
-"""Fused decode + Poisson log-likelihood Pallas kernel.
+"""Fused decode + Poisson log-likelihood Pallas kernels.
 
 The hot path of the ADVI energy (reference: mederrata_spmf/poisson.py:156-184
 + 606-619) is, per ELBO sample s:
@@ -9,18 +9,26 @@ The hot path of the ADVI energy (reference: mederrata_spmf/poisson.py:156-184
     out  = sum(clip(ll, m, 0) with non-finite -> m)   per-sample scalar
 
 Under plain XLA the two dependent reductions (global min, then clipped sum)
-force the (S,B,D) ``ll`` tensor through HBM. This kernel runs a two-phase
-sequential TPU grid instead — phase 0 accumulates the global finite-min in
-SMEM, phase 1 recomputes the tile and accumulates the clipped per-sample
-sums — so nothing of shape (S,B,D) ever touches HBM: 2x the MXU FLOPs
-(cheap) for ~S x less HBM traffic (the bottleneck).
+force the (S,B,D) ``ll`` tensor through HBM. Here the computation runs as two
+Pallas kernels instead — a min kernel accumulating the global finite-min in
+SMEM, and a sum kernel that recomputes each tile and accumulates the clipped
+per-sample sums given the (now scalar) bound — so nothing of shape (S,B,D)
+ever touches HBM: 2x the MXU FLOPs (cheap) for ~S x less HBM traffic (the
+bottleneck).
+
+Splitting the phases into separate kernels (rather than a leading phase grid
+dim) is what lets the clip bound cross devices: ``fused_poisson_loglik_
+sharded`` runs both kernels inside ``jax.shard_map`` over a dp x fp mesh with
+a ``lax.pmin`` between them and a ``lax.psum`` after — the data-dependent
+clip is the cross-device-sensitive part of the reference semantics
+(SURVEY.md §7 hard-part (d)). Same per-tile DMA traffic as the old fused
+two-phase grid (phases never shared tile DMAs anyway).
 
 Kernel geometry: the ELBO-sample dim S is unrolled *inside* the kernel body
 (theta/v/phi blocks carry full S), so each (row-tile, col-tile) of x/lgx is
-DMA'd once per phase instead of S times, and the grid is only
-2 x (B/128) x (D/1024) steps.
+DMA'd once per kernel, and each grid is (B/128) x (D/1024) steps.
 
-Gradients: ``fused_poisson_loglik`` carries a custom VJP whose backward pass
+Gradients: ``_loglik_given_min`` carries a custom VJP whose backward pass
 recomputes the rate in XLA from the (small) inputs — no (S,B,D) residuals
 are saved, which also beats XLA autodiff (measured 121 ms vs 161 ms at
 S=8, B=1024, K=32, D=20k on v5e). Divergence from raw autodiff (documented
@@ -39,7 +47,11 @@ from jax.scipy.special import gammaln
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_poisson_loglik", "poisson_loglik_reference"]
+__all__ = [
+    "fused_poisson_loglik",
+    "fused_poisson_loglik_sharded",
+    "poisson_loglik_reference",
+]
 
 TB, TD = 128, 1024  # row / feature tile sizes (f32 min tile is (8,128))
 
@@ -83,104 +95,161 @@ def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
     return jnp.sum(ll, axis=(-1, -2))
 
 
-def _kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
-            out_ref, min_ref, *, B, D, S, log_transform):
-    p = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform):
+    tv = jnp.dot(theta_ref[s], v_ref[s], preferred_element_type=jnp.float32)
+    if log_transform:
+        rate = jnp.exp(tv * eta) - 1.0 + phi_ref[s]
+    else:
+        rate = tv * eta + phi_ref[s]
+    return x * _safe_log(rate) - rate - lgx
 
-    x = x_ref[:]                  # (TB, TD)
-    eta = eta_ref[:]              # (1, TD)
-    lgx = lgx_ref[:]              # (TB, TD) = lgamma(x+1), precomputed
 
+def _min_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
+                min_ref, *, B, D, S, log_transform):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x = x_ref[:]
+    eta = eta_ref[:]
+    lgx = lgx_ref[:]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     in_bounds = (row_ids < B) & (col_ids < D)
 
-    @pl.when((p == 0) & (i == 0) & (j == 0))
-    def _init_min():
+    @pl.when((i == 0) & (j == 0))
+    def _init():
         min_ref[0] = jnp.float32(0.0)
 
-    @pl.when((p == 1) & (i == 0) & (j == 0))
-    def _init_sum():
+    for s in range(S):  # static unroll: blocks carry the full sample dim
+        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
+        tile_min = jnp.min(
+            jnp.where(jnp.isfinite(ll) & in_bounds, ll, 0.0)
+        )
+        min_ref[0] = jnp.minimum(min_ref[0], tile_min)
+
+
+def _sum_kernel(min_ref, theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
+                out_ref, *, B, D, S, log_transform):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x = x_ref[:]
+    eta = eta_ref[:]
+    lgx = lgx_ref[:]
+    min_val = min_ref[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
+    in_bounds = (row_ids < B) & (col_ids < D)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
         for s in range(S):
             out_ref[s] = jnp.float32(0.0)
 
-    for s in range(S):  # static unroll: blocks carry the full sample dim
-        tv = jnp.dot(theta_ref[s], v_ref[s], preferred_element_type=jnp.float32)
-        if log_transform:
-            rate = jnp.exp(tv * eta) - 1.0 + phi_ref[s]
-        else:
-            rate = tv * eta + phi_ref[s]
-        ll = x * _safe_log(rate) - rate - lgx
-        finite = jnp.isfinite(ll)
-
-        @pl.when(p == 0)
-        def _phase_min():
-            tile_min = jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
-            min_ref[0] = jnp.minimum(min_ref[0], tile_min)
-
-        @pl.when(p == 1)
-        def _phase_sum():
-            min_val = jnp.maximum(min_ref[0] - 10.0, jnp.float32(-1e27))
-            llc = jnp.clip(ll, min_val, 0.0)
-            llc = jnp.where(finite, llc, min_val)
-            llc = jnp.where(in_bounds, llc, 0.0)
-            out_ref[s] = out_ref[s] + jnp.sum(llc)
+    for s in range(S):
+        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
+        llc = jnp.clip(ll, min_val, 0.0)
+        llc = jnp.where(jnp.isfinite(ll), llc, min_val)
+        llc = jnp.where(in_bounds, llc, 0.0)
+        out_ref[s] = out_ref[s] + jnp.sum(llc)
 
 
-def _fused_forward(theta, v, phi, x, eta, log_transform, interpret):
+def _data_specs(S, K):
+    return [
+        pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, K, TD), lambda i, j: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1, TD), lambda i, j: (0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, TD), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, TD), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _cost(S, B, K, D):
+    return pl.CostEstimate(
+        flops=2 * S * B * K * D,
+        bytes_accessed=(S * B * K + S * K * D + 2 * B * D) * 4,
+        transcendentals=2 * S * B * D,
+    )
+
+
+def _fused_min(theta, v, phi, x, eta, lgx, log_transform, interpret):
+    """Raw global finite-min of ll (0-initialized), shape (1,) f32."""
     S, B, K = theta.shape
     D = x.shape[-1]
-    nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
-    lgx = gammaln(x + 1.0)
-
-    grid = (2, nb, nd)
-    out, _ = pl.pallas_call(
-        functools.partial(_kernel, B=B, D=D, S=S, log_transform=log_transform),
+    grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
+    return pl.pallas_call(
+        functools.partial(_min_kernel, B=B, D=D, S=S,
+                          log_transform=log_transform),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((S, TB, K), lambda p, i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, K, TD), lambda p, i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, TD), lambda p, i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda p, i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TD), lambda p, i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda p, i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((S,), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
-        ),
+        in_specs=_data_specs(S, K),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * S * B * K * D,
-            bytes_accessed=2 * (S * B * K + S * K * D + 2 * B * D) * 4,
-            transcendentals=2 * S * B * D,
-        ),
+        cost_estimate=_cost(S, B, K, D),
     )(theta, v, phi, x, eta, lgx)
-    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
-                         interpret=False):
-    """Per-sample clipped Poisson log-likelihood sums, shape (S,).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _loglik_given_min(theta, v, phi, x, eta, min_val, log_transform,
+                      interpret):
+    """Per-sample clipped log-likelihood sums given a precomputed clip
+    bound ``min_val`` (shape (1,), already -10-shifted and floored). The
+    bound is a constant to autodiff — matching the single-device fused
+    semantics and making the cross-device pmin trivially differentiable."""
+    return _sum_forward(theta, v, phi, x, eta, min_val, log_transform,
+                        interpret)
 
-    Args: theta (S,B,K), v (S,K,D), phi (S,1,D), x (B,D), eta (1,D) or
-    scalar broadcastable.
-    """
-    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
-    return _fused_forward(theta, v, phi, x, eta, log_transform, interpret)
+
+def _sum_forward(theta, v, phi, x, eta, min_val, log_transform, interpret):
+    S, B, K = theta.shape
+    D = x.shape[-1]
+    lgx = gammaln(x + 1.0)
+    grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
+    return pl.pallas_call(
+        functools.partial(_sum_kernel, B=B, D=D, S=S,
+                          log_transform=log_transform),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _data_specs(S, K),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((S,), jnp.float32),
+        interpret=interpret,
+        cost_estimate=_cost(S, B, K, D),
+    )(min_val, theta, v, phi, x, eta, lgx)
+
+
+def _sum_fwd(theta, v, phi, x, eta, min_val, log_transform, interpret):
+    out = _sum_forward(theta, v, phi, x, eta, min_val, log_transform,
+                       interpret)
+    return out, (theta, v, phi, x, eta, min_val)
+
+
+def _sum_bwd(log_transform, interpret, res, g):
+    theta, v, phi, x, eta, min_val = res
+    # recompute rate/ll in XLA; no (S,B,D) residual was stored
+    tv = jnp.matmul(theta, v)
+    rate = _decode_rate(tv, eta, phi, log_transform)
+    ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
+    mv = min_val[0]
+    active = jnp.isfinite(ll) & (ll > mv) & (ll < 0.0)
+    # d ll / d rate = x / rate - 1 where active (rate floored like the log)
+    rate_safe = jnp.maximum(rate, jnp.finfo(rate.dtype).tiny)
+    drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g[:, None, None]
+    if log_transform:
+        dtv = drate * jnp.exp(tv * eta) * eta
+    else:
+        dtv = drate * eta
+    dtheta = jnp.matmul(dtv, jnp.swapaxes(v, -1, -2))
+    dv = jnp.matmul(jnp.swapaxes(theta, -1, -2), dtv)
+    dphi = jnp.sum(drate, axis=-2, keepdims=True)
+    return dtheta, dv, dphi, None, None, None
+
+
+_loglik_given_min.defvjp(_sum_fwd, _sum_bwd)
 
 
 def _prep(theta, v, phi, x, eta):
@@ -194,34 +263,71 @@ def _prep(theta, v, phi, x, eta):
     return theta, v, phi, x, eta
 
 
-def _fwd(theta, v, phi, x, eta, log_transform, interpret):
+def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
+                         interpret=False):
+    """Per-sample clipped Poisson log-likelihood sums, shape (S,).
+
+    Args: theta (S,B,K), v (S,K,D), phi (S,1,D), x (B,D), eta (1,D) or
+    scalar broadcastable. Single-device path; for mesh execution use
+    ``fused_poisson_loglik_sharded``.
+    """
     theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
-    out = _fused_forward(theta, v, phi, x, eta, log_transform, interpret)
-    return out, (theta, v, phi, x, eta)
+    lgx = gammaln(x + 1.0)
+    # the min kernel has no autodiff rule and the clip bound is a constant
+    # to the backward anyway — detach its inputs, not just its output
+    sg = jax.lax.stop_gradient
+    raw_min = _fused_min(sg(theta), sg(v), sg(phi), x, eta, lgx,
+                         log_transform, interpret)
+    min_val = _floor_min_val(raw_min - 10.0)
+    return _loglik_given_min(theta, v, phi, x, eta, min_val, log_transform,
+                             interpret)
 
 
-def _bwd(log_transform, interpret, res, g):
-    theta, v, phi, x, eta = res
-    # recompute rate/ll in XLA; no (S,B,D) residual was stored
-    tv = jnp.matmul(theta, v)
-    rate = _decode_rate(tv, eta, phi, log_transform)
-    ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
-    finite = jnp.isfinite(ll)
-    min_val = _floor_min_val(
-        jnp.min(jnp.where(finite, ll, jnp.zeros_like(ll))) - 10.0
-    )
-    active = finite & (ll > min_val) & (ll < 0.0)
-    # d ll / d rate = x / rate - 1 where active (rate floored like the log)
-    rate_safe = jnp.maximum(rate, jnp.finfo(rate.dtype).tiny)
-    drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g[:, None, None]
-    if log_transform:
-        dtv = drate * jnp.exp(tv * eta) * eta
-    else:
-        dtv = drate * eta
-    dtheta = jnp.matmul(dtv, jnp.swapaxes(v, -1, -2))
-    dv = jnp.matmul(jnp.swapaxes(theta, -1, -2), dtv)
-    dphi = jnp.sum(drate, axis=-2, keepdims=True)
-    return dtheta, dv, dphi, None, None
+def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
+                                 log_transform=False, interpret=False,
+                                 data_axis="dp", feature_axis="fp"):
+    """Mesh-composed fused likelihood: per-shard Pallas min, ``lax.pmin``
+    across the mesh, per-shard Pallas clipped sums, ``lax.psum`` — the exact
+    global-clip semantics of the single-device kernel, scaled over dp x fp
+    (VERDICT r1 #2; reference data-dependent clip: poisson.py:606-619).
 
+    Rows of theta/x shard over ``data_axis``; feature columns of
+    v/phi/x/eta over ``feature_axis`` (either axis may be absent). The
+    (S,) output is fully replicated.
+    """
+    from jax.sharding import PartitionSpec as P
 
-fused_poisson_loglik.defvjp(_fwd, _bwd)
+    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
+    dp = data_axis if data_axis in mesh.axis_names and mesh.shape[data_axis] > 1 else None
+    fp = (feature_axis
+          if feature_axis in mesh.axis_names and mesh.shape[feature_axis] > 1
+          else None)
+    axes = tuple(a for a in (dp, fp) if a is not None)
+    if not axes:
+        return fused_poisson_loglik(theta, v, phi, x, eta, log_transform,
+                                    interpret)
+
+    def body(theta, v, phi, x, eta):
+        lgx = gammaln(x + 1.0)
+        sg = jax.lax.stop_gradient
+        local_min = _fused_min(sg(theta), sg(v), sg(phi), x, eta, lgx,
+                               log_transform, interpret)
+        gmin = jax.lax.pmin(local_min, axes)
+        min_val = _floor_min_val(gmin - 10.0)
+        out = _loglik_given_min(theta, v, phi, x, eta, min_val,
+                                log_transform, interpret)
+        return jax.lax.psum(out, axes)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, dp, None),   # theta (S, B, K)
+            P(None, None, fp),   # v     (S, K, D)
+            P(None, None, fp),   # phi   (S, 1, D)
+            P(dp, fp),           # x     (B, D)
+            P(None, fp),         # eta   (1, D)
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )(theta, v, phi, x, eta)

@@ -203,16 +203,21 @@ def test_nonfinite_loss_recovery():
     assert np.isfinite(result.losses[-1])
 
 
-def test_fused_guard_disabled_under_mesh():
+def test_fused_composes_with_mesh_when_divisible():
+    """r2: the fused kernel now composes with the mesh via shard_map
+    (fused_poisson_loglik_sharded); _can_fuse only bails when shard_map
+    cannot split the static batch evenly."""
     from spmf_tpu import PoissonFactorization
     from spmf_tpu.parallel import data_parallel_mesh
 
     m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
                              dtype="float64", scale_columns=False,
                              fused_likelihood=True)
-    assert m._can_fuse() is True or m.fused_likelihood  # no mesh: allowed
+    assert m._can_fuse()
     m.mesh = data_parallel_mesh(2)
-    assert not m._can_fuse()
+    assert m._can_fuse()                  # mesh no longer disables fusion
+    assert m._can_fuse(batch_shape=(8, 5))   # 8 rows over dp=2: even split
+    assert not m._can_fuse(batch_shape=(7, 5))  # uneven rows: XLA fallback
 
 
 def test_nonfinite_initial_loss_does_not_poison_best_tracking():

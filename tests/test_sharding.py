@@ -168,3 +168,62 @@ def test_fit_param_sharding_replicated_option():
     assert np.isfinite(losses).all()
     spec = m.surrogate_params["u"]["loc"].sharding.spec
     assert "fp" not in str(spec), spec
+
+
+def test_fused_likelihood_composes_with_mesh():
+    """VERDICT r1 #2: the fused Pallas likelihood must keep running under a
+    dp x fp mesh (shard_map: per-shard min kernel -> pmin -> sum kernel ->
+    psum), matching the XLA path's global-clip semantics exactly."""
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+
+    def build(fused):
+        m = PoissonFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, mesh=mesh, fused_likelihood=fused,
+        )
+        m._fused_interpret = True  # CPU: interpret-mode kernels
+        return m
+
+    ref = build(False)
+    fused = build(True)
+    assert fused._can_fuse(X.shape)
+    batch = {"counts": jnp.asarray(X), "indices": jnp.arange(B)}
+    key = jax.random.PRNGKey(2)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,)
+    )
+
+    px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
+    fx = np.asarray(fused.unormalized_log_prob_parts(batch, **samples)["x"])
+    np.testing.assert_allclose(fx, px, rtol=1e-5)
+
+    # gradients through the full energy agree (clip bound is interior here)
+    def loss(model):
+        def f(p):
+            s, logq = model._surrogate.sample_and_log_prob(p, key, (S,))
+            return -jnp.mean(model.unormalized_log_prob(data=batch, **s) - logq)
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(ref)))(ref.surrogate_params)
+    g_fused = jax.jit(jax.grad(loss(fused)))(fused.surrogate_params)
+    for name in g_ref:
+        for leaf in g_ref[name]:
+            np.testing.assert_allclose(
+                np.asarray(g_fused[name][leaf]), np.asarray(g_ref[name][leaf]),
+                rtol=5e-4, atol=1e-7, err_msg=f"{name}.{leaf}",
+            )
+
+
+def test_fused_fit_runs_on_mesh():
+    """model.fit() with fused likelihood on a dp x fp mesh end-to-end."""
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    m = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, mesh=mesh, fused_likelihood=True,
+    )
+    m._fused_interpret = True
+    data = {"counts": X, "indices": np.arange(B)}
+    losses = m.fit(batched_data_factory=data, num_steps=2,
+                   learning_rate=0.05, sample_size=S, seed=7, verbose=False,
+                   rel_tol=None)
+    assert np.isfinite(losses).all()
