@@ -128,8 +128,9 @@ def main():
     tpu_rows = measure(jax.default_backend(), ITERS)
     path = "xla"
     for label, kw in (
-        ("pallas-fused", dict(fused=True)),
         ("pallas-fused-noremat", dict(fused=True, remat=False)),
+        ("pallas-fused-ig-noremat",
+         dict(fused=True, gamma_sampler="fused", remat=False)),
     ):
         try:
             rows = measure(jax.default_backend(), ITERS, **kw)

@@ -27,6 +27,10 @@ CONFIGS = {
     "no-remat": dict(fused_likelihood=True, gamma_sampler="fast", remat=False),
     "aux-broadcast": dict(fused_likelihood=True, gamma_sampler="fast",
                           aux_broadcast=True),
+    "fused-ig": dict(fused_likelihood=True, gamma_sampler="fused",
+                     remat=False),
+    "fused-ig-bcast": dict(fused_likelihood=True, gamma_sampler="fused",
+                           aux_broadcast=True, remat=False),
 }
 
 

@@ -79,7 +79,7 @@ class PoissonFactorization(BayesianModel):
         dtype=None,
         data=None,
         fused_likelihood=None,
-        gamma_sampler="fast",
+        gamma_sampler=None,
         aux_broadcast=False,
         **kwargs,
     ):
@@ -119,6 +119,19 @@ class PoissonFactorization(BayesianModel):
 
             fused_likelihood = _jax.default_backend() == "tpu"
         self.fused_likelihood = fused_likelihood
+        if gamma_sampler is None:
+            # 'fused': one Pallas kernel with in-kernel RNG for the whole
+            # horseshoe-auxiliary block (ops/fused_ig.py) — TPU single-chip
+            # only (under a mesh the flat concat would gather fp shards);
+            # elsewhere the WH 'fast' sampler (same math, threefry RNG)
+            import jax as _jax
+
+            gamma_sampler = (
+                "fused"
+                if _jax.default_backend() == "tpu" and mesh is None
+                and self.dtype == jnp.float32
+                else "fast"
+            )
         self.gamma_sampler = gamma_sampler
         #: share one horseshoe-auxiliary draw across the S ELBO samples.
         #: Validated on the parity config (docs/aux_broadcast_parity.json):

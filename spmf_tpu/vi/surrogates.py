@@ -253,8 +253,55 @@ class SurrogatePosterior:
             logq = logq + lp
         return values, logq
 
+    def _fused_igs_ok(self, names, sample_shape):
+        """The fused Pallas IG sampler handles the standard case: softplus
+        bijectors, f32, a 0/1-dim sample shape, and a TPU backend (the
+        kernel's hardware RNG has no CPU/interpret lowering)."""
+        if self.gamma_sampler != "fused":
+            return False
+        if len(sample_shape) > 1 or self.dtype != jnp.float32:
+            return False
+        if any(not isinstance(self.surrogates[n].bijector, tfb.Softplus)
+               for n in names):
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _sample_igs_fused(self, names, params, key, sample_shape):
+        """One Pallas kernel for the whole IG block: in-kernel RNG ->
+        boosted-WH gamma -> IG transform -> softplus bijector -> logq
+        partial sums (spmf_tpu.ops.fused_ig; VERDICT r1 #1)."""
+        from spmf_tpu.ops.fused_ig import fused_ig_sample_logq
+
+        a_flat = jnp.concatenate([
+            _softplus.forward(params[n]["raw_concentration"]).reshape(-1)
+            for n in names
+        ])
+        b_flat = jnp.concatenate([
+            _softplus.forward(params[n]["raw_scale"]).reshape(-1)
+            for n in names
+        ])
+        S = sample_shape[0] if sample_shape else 1
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+        y, logq = fused_ig_sample_logq(a_flat, b_flat, seed, S)
+        values = {}
+        off = 0
+        for n in names:
+            s = self.surrogates[n]
+            sz = self._sizes[n]
+            block = y[:, off:off + sz]
+            off += sz
+            values[n] = (
+                block.reshape(sample_shape + s.shape)
+                if sample_shape
+                else block[0].reshape(s.shape)
+            )
+        return values, (logq if sample_shape else logq[0])
+
     def _sample_igs(self, names, params, key, sample_shape):
         from spmf_tpu.ops.gamma import sample_gamma
+
+        if self._fused_igs_ok(names, sample_shape):
+            return self._sample_igs_fused(names, params, key, sample_shape)
 
         values, logq = {}, 0.0
         concs = [
@@ -263,7 +310,10 @@ class SurrogatePosterior:
         ]
         conc_flat = jnp.concatenate(concs)
         conc_b = jnp.broadcast_to(conc_flat, sample_shape + conc_flat.shape)
-        g = sample_gamma(key, conc_b.astype(self.dtype), self.gamma_sampler)
+        # 'fused' degrades to the same WH sampler when the kernel can't run
+        # (CPU, f64, non-softplus bijectors, multi-dim sample shapes)
+        method = "fast" if self.gamma_sampler == "fused" else self.gamma_sampler
+        g = sample_gamma(key, conc_b.astype(self.dtype), method)
         off = 0
         for n in names:
             s = self.surrogates[n]
