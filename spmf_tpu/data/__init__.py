@@ -177,17 +177,25 @@ def as_data_factory(data) -> Callable[[], Iterable[dict]]:
         return None
     if callable(data):
         return data
+
+    def _factory_over(obj):
+        f = lambda: iter(obj)  # noqa: E731
+        # keep a handle on the source dataset so consumers can use its fast
+        # paths (e.g. SparseCounts.col_stats in compute_scales)
+        f.source = data
+        return f
+
     if isinstance(data, ArrayDataset):
-        return lambda: iter(data)
+        return _factory_over(data)
     if isinstance(data, dict):
         batch = {k: np.asarray(v) for k, v in data.items()}
-        return lambda: iter([batch])
+        return _factory_over([batch])
     if isinstance(data, np.ndarray) or hasattr(data, "__array__"):
         arr = np.asarray(data)
         batch = {"counts": arr, "indices": np.arange(arr.shape[0])}
-        return lambda: iter([batch])
+        return _factory_over([batch])
     # assume re-iterable of dict batches
-    return lambda: iter(data)
+    return _factory_over(data)
 
 
 def load_csv_counts(path: str, dtype=np.float64) -> np.ndarray:

@@ -31,6 +31,8 @@ class SparseCounts:
         self._drop_remainder = False
         self._epoch = 0
         self.count_key = "counts"
+        self._coo = False
+        self._max_nnz = None
 
     # ------------------------------------------------------------ builders
     @classmethod
@@ -140,6 +142,42 @@ class SparseCounts:
     def prefetch(self, n=None):
         return self
 
+    def as_coo(self, max_nnz=None):
+        """Switch batching to padded COO triplets — the device-side sparse
+        training path: batches are {'coo_rows','coo_cols','coo_vals',
+        'indices'} with a STATIC nnz padding (zero-valued entries are exact
+        no-ops in the sparse energy, and a fixed size avoids per-batch
+        recompiles). The model trains without ever densifying (B, D)."""
+        self._coo = True
+        self._max_nnz = max_nnz
+        return self
+
+    def _coo_pad_size(self, bs):
+        """Static padding: batch-mean nnz + 8 sigma + one max row, rounded
+        up to 1024 (overflow falls back to the next multiple — rare, costs
+        one recompile)."""
+        if self._max_nnz is not None:
+            return int(self._max_nnz)
+        row_nnz = np.diff(self.indptr)
+        est = bs * row_nnz.mean() + 8.0 * np.sqrt(bs) * row_nnz.std() \
+            + row_nnz.max()
+        self._max_nnz = int(-(-est // 1024) * 1024)
+        return self._max_nnz
+
+    def _coo_batch(self, sl, pad):
+        rows, cols, vals = self.batch_coo(sl)
+        nnz = len(vals)
+        if nnz > pad:  # overflow: next 1024-multiple (recompile, rare)
+            pad = int(-(-nnz // 1024) * 1024)
+        out_r = np.zeros(pad, np.int32)
+        out_c = np.zeros(pad, np.int32)
+        out_v = np.zeros(pad, np.float64)
+        out_r[:nnz] = rows
+        out_c[:nnz] = cols
+        out_v[:nnz] = vals
+        return {"coo_rows": out_r, "coo_cols": out_c, "coo_vals": out_v,
+                "indices": sl}
+
     def __iter__(self):
         idx = np.arange(self.num_rows)
         if self._shuffle:
@@ -152,9 +190,13 @@ class SparseCounts:
             if self._drop_remainder
             else self.num_rows
         )
+        pad = self._coo_pad_size(bs) if self._coo else None
         for start in range(0, stop, bs):
             sl = idx[start : start + bs]
-            batch = {"counts": self.row_slab(sl), "indices": sl}
+            if self._coo:
+                batch = self._coo_batch(sl, pad)
+            else:
+                batch = {"counts": self.row_slab(sl), "indices": sl}
             for k, v in self.extras.items():
                 batch[k] = np.asarray(v)[sl]
             yield batch

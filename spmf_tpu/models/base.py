@@ -214,12 +214,26 @@ class BayesianModel:
         )
 
     # ------------------------------------------------------------- reporting
-    def waic(self, data=None, num_samples: int = 100, seed: int = 1):
-        """{'waic','se','lppd','pwaic'} over the bound dataset (reference
-        observed output: notebooks/factorizing_random_noise cell 9)."""
+    def waic(self, data=None, num_samples: int = 100, seed: int = 1,
+             subsample=None):
+        """{'waic','se','lppd','pwaic'} pointwise per-row (reference
+        observed output: notebooks/factorizing_random_noise cell 9).
+
+        ``subsample=None`` (default) scans the full bound dataset — the
+        statistically standard estimator. ``subsample='batch'`` evaluates
+        over the FIRST minibatch only: forensic reconstruction of the
+        recorded notebook outputs shows the reference engine's lppd unit was
+        a single minibatch of per-row points (its |lppd| tracks batch size,
+        not N; docs/waic_forensics.json reproduces the recorded magnitudes
+        to 0.2-6% across all three configs)."""
         factory = as_data_factory(data) or self.data
         if factory is None:
             raise ValueError("No data bound for waic()")
+        if subsample == "batch":
+            first = next(iter(factory()))
+            factory = lambda: iter([first])  # noqa: E731
+        elif subsample is not None:
+            raise ValueError(f"unknown subsample mode {subsample!r}")
         return _waic(
             self._row_log_likelihood,
             self._surrogate,

@@ -193,15 +193,19 @@ class PoissonFactorization(BayesianModel):
             return
         compute_normalization = need_eta
         print("Looping through the entire dataset once to get some stats")
-        colsums = None
-        col_nonzero = None
-        n_rows = 0
-        for batch in factory():
-            x = np.asarray(self._counts(batch), np.float64)
-            colsums = x.sum(0, keepdims=True) + (0 if colsums is None else colsums)
-            nz = (x > 0).sum(0, keepdims=True)
-            col_nonzero = nz + (0 if col_nonzero is None else col_nonzero)
-            n_rows += x.shape[0]
+        src = getattr(factory, "source", None)
+        if hasattr(src, "col_stats"):
+            # CSR fast path (SparseCounts): one streaming pass over the
+            # nonzeros, no slab densification
+            colsums, col_nonzero = src.col_stats()
+        else:
+            colsums = None
+            col_nonzero = None
+            for batch in factory():
+                x = np.asarray(self._counts(batch), np.float64)
+                colsums = x.sum(0, keepdims=True) + (0 if colsums is None else colsums)
+                nz = (x > 0).sum(0, keepdims=True)
+                col_nonzero = nz + (0 if col_nonzero is None else col_nonzero)
         with np.errstate(divide="ignore", invalid="ignore"):
             colmeans_nonzero = colsums / col_nonzero
         rowmean_nonzero = np.nansum(colmeans_nonzero)
@@ -521,6 +525,9 @@ class PoissonFactorization(BayesianModel):
         prior_parts = self.prior_distribution.log_prob_parts(params)
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
 
+        if isinstance(data, dict) and "coo_vals" in data:
+            return self._coo_log_prob_parts(data, prior_parts, params)
+
         theta = self.encode(self._counts(data), params["u"], params["s"])
         prior_parts["z"] = self._theta_prior_log_prob(theta)
 
@@ -567,6 +574,69 @@ class PoissonFactorization(BayesianModel):
         ll = jnp.clip(ll, min_val, 0.0)
         ll = jnp.where(jnp.isfinite(ll), ll, min_val)
         prior_parts["x"] = jnp.sum(ll, axis=(-1, -2))
+        return prior_parts
+
+    def _coo_log_prob_parts(self, data, prior_parts, params):
+        """Sparse (COO) energy: trains on padded triplet batches without
+        ever materializing the dense (B, D) slab — the nonzero term is a
+        gather-dot over the triplets and the rate total collapses to
+        sum_b(theta) . sum_d(v*eta) for the identity decode link
+        (spmf_tpu.data.SparseCounts.as_coo; BASELINE.json north-star sparse
+        encoder design).
+
+        Deliberate divergence from the dense path (documented in
+        docs/PARITY.md): the exact Poisson log-likelihood is finite by
+        construction here, so the reference's data-dependent clip
+        (poisson.py:606-619) is a no-op and is not applied."""
+        from jax.scipy.special import gammaln
+
+        from spmf_tpu.ops import sparse_encode_coo
+
+        if self.log_transform:
+            raise NotImplementedError(
+                "the sparse COO energy supports the identity decode link "
+                "only (log_transform=True needs a dense sum of exp rates); "
+                "use dense slab batches"
+            )
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "the sparse COO energy is single-device for now; "
+                "use dense slab batches under a mesh"
+            )
+        rows = data["coo_rows"]
+        cols = data["coo_cols"]
+        vals = jnp.asarray(data["coo_vals"], self.dtype)
+        B = data["indices"].shape[0]
+
+        A = self.encoding_matrix(params["u"], params["s"])   # (..., D, K)
+        theta = sparse_encode_coo(
+            rows, cols, vals, B, A, self.eta_i, False,
+            xi_global=self.xi_u_global if self.scale_rows else None,
+        )                                                    # (..., B, K)
+        prior_parts["z"] = self._theta_prior_log_prob(theta)
+
+        v = self.decoding_matrix(params["v"])                # (..., K, D)
+        phi = self.intercept_matrix(params["w"], params["s"])  # (..., 1, D)
+        D = v.shape[-1]
+        eta = jnp.broadcast_to(jnp.asarray(self.eta_i, self.dtype), (1, D))[0]
+
+        # nonzero term: sum_nz [x log(rate) - lgamma(x+1)]; zero padding is
+        # an exact no-op (x=0 -> both pieces vanish; rate floored positive)
+        theta_r = jnp.take(theta, rows, axis=-2)             # (..., nnz, K)
+        v_c = jnp.take(v, cols, axis=-1)                     # (..., K, nnz)
+        tv = jnp.einsum("...nk,...kn->...n", theta_r, v_c)
+        rate_nz = tv * eta[cols] + jnp.take(phi[..., 0, :], cols, axis=-1)
+        rate_nz = jnp.maximum(rate_nz, jnp.finfo(self.dtype).tiny)
+        nz_term = jnp.sum(
+            vals * jnp.log(rate_nz) - gammaln(vals + 1.0), axis=-1
+        )
+        # -sum_ij rate over ALL B x D entries, without materializing them:
+        # sum_ij (theta @ v) * eta = sum_k [sum_b theta_bk][sum_d v_kd eta_d]
+        v_eta = jnp.sum(v * eta, axis=-1)                    # (..., K)
+        total_rate = jnp.einsum(
+            "...k,...k->...", jnp.sum(theta, axis=-2), v_eta
+        ) + B * jnp.sum(phi, axis=(-1, -2))
+        prior_parts["x"] = nz_term - total_rate
         return prior_parts
 
     def _can_fuse(self, batch_shape=None):

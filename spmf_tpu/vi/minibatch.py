@@ -78,6 +78,15 @@ def _device_batch(batch, dtype, mesh, data_axis="dp"):
     return out
 
 
+def _batch_rows(batch):
+    """Row count of a dict batch — prefer the canonical keys (a COO batch's
+    first value is nnz-sized, not row-sized)."""
+    for k in ("indices", "counts", "data"):
+        if k in batch:
+            return batch[k].shape[0]
+    return next(iter(batch.values())).shape[0]
+
+
 def _snapshot(tree):
     return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
@@ -201,7 +210,7 @@ def fit_surrogate_posterior(
                 samples, logq = draw(p_, k)
                 lp = energy_fn(batch, samples, prior_weight)
                 total = total + jnp.mean(lp - logq)
-            rows = next(iter(batch.values())).shape[0]
+            rows = _batch_rows(batch)
             return -(total / sample_batches) / rows
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -213,8 +222,7 @@ def fit_surrogate_posterior(
     def eval_loss(p, key, batch):
         samples, logq = surrogate.sample_and_log_prob(p, key, (sample_size,))
         lp = energy_fn(batch, samples, prior_weight)
-        rows = next(iter(batch.values())).shape[0]
-        return -jnp.mean(lp - logq) / rows
+        return -jnp.mean(lp - logq) / _batch_rows(batch)
 
     rng = jax.random.PRNGKey(seed)
 

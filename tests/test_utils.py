@@ -79,3 +79,24 @@ def test_bound_surrogate_api():
     vals, lq = m.surrogate_distribution.sample_and_log_prob((2,), seed=1)
     assert lq.shape == (2,)
     assert m.surrogate_distribution.variables is m.surrogate_params
+
+
+def test_waic_subsample_batch_unit():
+    """waic(subsample='batch') evaluates over the first minibatch only —
+    the forensically recovered reference unit (docs/waic_forensics.json)."""
+    import numpy as np
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import ArrayDataset
+
+    rng = np.random.default_rng(0)
+    X = rng.poisson(1.0, (60, 8))
+    data = ArrayDataset({"counts": X, "indices": np.arange(60)}).batch(20)
+    m = PoissonFactorization(latent_dim=2, feature_dim=8, u_tau_scale=0.1,
+                             dtype="float64", data=data)
+    full = m.waic(num_samples=20)
+    sub = m.waic(num_samples=20, subsample="batch")
+    # identity holds for both; the subsampled lppd is ~1/3 of the full one
+    for w in (full, sub):
+        np.testing.assert_allclose(w["waic"], -2 * (w["lppd"] - w["pwaic"]),
+                                   rtol=1e-10)
+    assert abs(sub["lppd"]) < abs(full["lppd"]) / 2
