@@ -86,10 +86,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="xla,fused,no-remat")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--samples", type=int, default=None)
     args = ap.parse_args()
 
+    global B, S
+    if args.batch:
+        B = args.batch
+    if args.samples:
+        S = args.samples
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.poisson(1.0, (B, D)), jnp.float32)
+    print(f"# B={B} S={S} D={D} P={P}")
     for name in args.configs.split(","):
         run(name, dict(CONFIGS[name]), X, args.iters)
 

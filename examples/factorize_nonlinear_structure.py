@@ -39,3 +39,22 @@ A = np.asarray(factor.encoding_matrix())
 col_mass = np.abs(A).sum(1)
 print("signal col mass:", col_mass[::3].mean(), "noise col mass:",
       np.delete(col_mass, np.s_[::3]).mean())
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 2, figsize=(12, 4))
+    im = ax[0].imshow(A.T, vmin=0, cmap="Blues", aspect="auto")
+    ax[0].set_xlabel("item")
+    ax[0].set_ylabel("dimension")
+    fig.colorbar(im, ax=ax[0], orientation="horizontal")
+    ax[1].plot(losses)
+    ax[1].set_xlabel("epoch")
+    ax[1].set_ylabel("avg-batch loss")
+    plt.savefig("factorize_nonlinear_structure.png", bbox_inches="tight")
+    print("wrote factorize_nonlinear_structure.png")
+except ImportError:
+    pass

@@ -100,3 +100,18 @@ def test_waic_subsample_batch_unit():
         np.testing.assert_allclose(w["waic"], -2 * (w["lppd"] - w["pwaic"]),
                                    rtol=1e-10)
     assert abs(sub["lppd"]) < abs(full["lppd"]) / 2
+
+
+def test_orbax_checkpointer_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from spmf_tpu.utils.checkpoint import OrbaxCheckpointer
+
+    tree = {"a": {"loc": jnp.arange(6.0).reshape(2, 3)},
+            "b": {"raw": jnp.ones(4)}}
+    ckpt = OrbaxCheckpointer(str(tmp_path / "ck"), async_save=False)
+    ckpt.save(3, tree)
+    out = ckpt.restore(3, like=tree)
+    assert ckpt.steps() == [3]
+    np.testing.assert_allclose(np.asarray(out["a"]["loc"]),
+                               np.asarray(tree["a"]["loc"]))
+    ckpt.close()
