@@ -34,7 +34,7 @@ CONFIGS = {
 }
 
 
-def run(name, cfg, X, iters=30):
+def build(name, cfg, X):
     import jax
     import jax.numpy as jnp
     import optax
@@ -65,17 +65,40 @@ def run(name, cfg, X, iters=30):
         u, o2 = opt.update(g, o, p)
         return optax.apply_updates(p, u), o2, loss
 
+    return {"step": step, "p": model.surrogate_params, "o": o, "name": name}
+
+
+def run_interleaved(states, X, iters=30, rounds=6):
+    """Alternate configs in short rounds to neutralize the tunnel's slow
+    ambient drift AND its first-config warmup penalty; report the per-config
+    median round."""
+    import jax
+
+    per_round = max(iters // rounds, 3)
     k = jax.random.PRNGKey(0)
-    p, o2, l = step(model.surrogate_params, o, k, X)
-    jax.block_until_ready(p)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        p, o2, l = step(p, o2, jax.random.fold_in(k, i), X)
-    jax.block_until_ready(p)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:>14s}: {dt*1000:7.1f} ms/step  {B/dt:9.0f} rows/sec  "
-          f"loss={float(l):.4g}")
-    return B / dt
+    # compile + global warmup (the first ~1 round after connect is slower)
+    for st in states:
+        st["times"] = []
+        st["p"], st["o"], st["l"] = st["step"](st["p"], st["o"], k, X)
+    for st in states:
+        for i in range(per_round):
+            st["p"], st["o"], st["l"] = st["step"](
+                st["p"], st["o"], jax.random.fold_in(k, i), X)
+        jax.block_until_ready(st["p"])
+    for r in range(rounds):
+        for st in states:
+            t0 = time.perf_counter()
+            for i in range(per_round):
+                st["p"], st["o"], st["l"] = st["step"](
+                    st["p"], st["o"], jax.random.fold_in(k, r * 1000 + i), X)
+            jax.block_until_ready(st["p"])
+            st["times"].append((time.perf_counter() - t0) / per_round)
+    for st in states:
+        dt = float(np.median(st["times"]))
+        spread = (max(st["times"]) - min(st["times"])) / dt
+        print(f"{st['name']:>14s}: {dt*1000:7.1f} ms/step  {B/dt:9.0f} "
+              f"rows/sec  loss={float(st['l']):.4g}  "
+              f"(median of {len(st['times'])} rounds, spread {spread:.0%})")
 
 
 def main():
@@ -98,8 +121,9 @@ def main():
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.poisson(1.0, (B, D)), jnp.float32)
     print(f"# B={B} S={S} D={D} P={P}")
-    for name in args.configs.split(","):
-        run(name, dict(CONFIGS[name]), X, args.iters)
+    states = [build(name, dict(CONFIGS[name]), X)
+              for name in args.configs.split(",")]
+    run_interleaved(states, X, args.iters)
 
 
 if __name__ == "__main__":

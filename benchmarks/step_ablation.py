@@ -75,9 +75,12 @@ def main():
 
         return jax.jit(step)
 
-    for mode in ("full", "no-likelihood", "no-priors", "no-z",
-                 "sampling-only"):
-        step = make_step(mode)
+    modes = os.environ.get(
+        "ABLATION_MODES",
+        "full,no-likelihood,no-priors,no-z,sampling-only").split(",")
+    steps = {}
+    for mode in modes:
+        step = steps.setdefault(mode, make_step(mode))
         o = opt.init(model.surrogate_params)
         k = jax.random.PRNGKey(0)
         p, o2, l = step(model.surrogate_params, o, k, X)

@@ -228,93 +228,142 @@ def _sum_fwd(theta, v, phi, x, eta, min_val, log_transform, interpret):
     return out, (theta, v, phi, x, eta, min_val)
 
 
-def _bwd_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref, eta_ref,
-                lgx_ref, dtheta_ref, dv_ref, dphi_ref,
-                *, B, D, S, log_transform):
-    """Backward tile: recompute rate/ll, form dtv, and accumulate all three
-    gradients without materializing any (S,B,D) tensor in HBM. Grid is
-    (col-tiles, row-tiles) with rows INNER so dv/dphi blocks (indexed by the
-    outer j) stay resident across the row sweep; dtheta is a full-resident
-    output (index map constant) accumulated across j."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-    x = x_ref[:]
-    eta = eta_ref[:]
-    lgx = lgx_ref[:]
-    mv = min_ref[0]
+def _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
+             in_bounds, log_transform):
+    """Recompute one (row-tile, col-tile, sample) dtv = d(sum ll)/d(theta@v),
+    with drate as the second return (for dphi). Operands must already have
+    their out-of-bounds padding zeroed (NaN leaks through 0*garbage)."""
+    tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
+    if log_transform:
+        ev = jnp.exp(tv * eta)
+        rate = ev - 1.0 + phi_ref[s]
+    else:
+        rate = tv * eta + phi_ref[s]
+    ll = x * _safe_log(rate) - rate - lgx
+    active = jnp.isfinite(ll) & (ll > min_ref[0]) & (ll < 0.0) & in_bounds
+    rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
+    drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g_ref[s]
+    if log_transform:
+        dtv = drate * ev * eta
+    else:
+        dtv = drate * eta
+    # padded-tile lanes hold uninitialized VMEM: 0 * garbage can be NaN
+    # and would poison the whole matmul row — mask after the product
+    dtv = jnp.where(active, dtv, 0.0)
+    return dtv, jnp.where(active, drate, 0.0)
+
+
+def _masks(i, j, B, D, K):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     in_bounds = (row_ids < B) & (col_ids < D)
-
-    @pl.when((i == 0) & (j == 0))
-    def _init_dtheta():
-        dtheta_ref[:] = jnp.zeros_like(dtheta_ref[:])
-
-    # zero the out-of-bounds block padding of the matmul operands: the
-    # gradient contractions run over the padded row/col dims, where
-    # uninitialized lanes would leak NaN through 0 * garbage
-    K = theta_ref.shape[-1]
     row_ok = (jax.lax.broadcasted_iota(jnp.int32, (TB, K), 0) + i * TB) < B
     col_ok = (jax.lax.broadcasted_iota(jnp.int32, (K, TD), 1) + j * TD) < D
+    return in_bounds, row_ok, col_ok
 
+
+def _bwd_dtheta_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
+                       eta_ref, lgx_ref, dtheta_ref,
+                       *, B, D, S, log_transform):
+    """dtheta = dtv @ v^T, accumulated over col tiles. Grid (rows, cols)
+    with cols INNER so the dtheta block (row-indexed) stays resident."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    K = theta_ref.shape[-1]
+    x, eta, lgx = x_ref[:], eta_ref[:], lgx_ref[:]
+    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
     for s in range(S):
-        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)   # (TB, K)
-        v_s = jnp.where(col_ok, v_ref[s], 0.0)           # (K, TD)
-        tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
-        if log_transform:
-            ev = jnp.exp(tv * eta)
-            rate = ev - 1.0 + phi_ref[s]
-        else:
-            rate = tv * eta + phi_ref[s]
-        ll = x * _safe_log(rate) - rate - lgx
-        active = jnp.isfinite(ll) & (ll > mv) & (ll < 0.0) & in_bounds
-        rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
-        drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g_ref[s]
-        if log_transform:
-            dtv = drate * ev * eta
-        else:
-            dtv = drate * eta
-        # padded-tile lanes hold uninitialized VMEM: 0 * garbage can be NaN
-        # and would poison the whole matmul row — mask after the product
-        dtv = jnp.where(active, dtv, 0.0)
-        drate = jnp.where(active, drate, 0.0)
-
+        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
+        v_s = jnp.where(col_ok, v_ref[s], 0.0)
+        dtv, _ = _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x, eta,
+                          lgx, in_bounds, log_transform)
         dth = jnp.dot(dtv, v_s.T, preferred_element_type=jnp.float32)
-        dtheta_ref[s, pl.ds(i * TB, TB), :] += dth
 
+        @pl.when(j == 0)
+        def _init():
+            dtheta_ref[s] = dth
+
+        @pl.when(j != 0)
+        def _accum():
+            dtheta_ref[s] += dth
+
+
+def _bwd_dv_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
+                   eta_ref, lgx_ref, dv_ref, dphi_ref,
+                   *, B, D, S, log_transform):
+    """dv = theta^T @ dtv and dphi = row-sums, accumulated over row tiles.
+    Grid (cols, rows) with rows INNER so the dv/dphi blocks stay resident."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    K = theta_ref.shape[-1]
+    x, eta, lgx = x_ref[:], eta_ref[:], lgx_ref[:]
+    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
+    for s in range(S):
+        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
+        v_s = jnp.where(col_ok, v_ref[s], 0.0)
+        dtv, drate = _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x,
+                              eta, lgx, in_bounds, log_transform)
         dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
         dph_s = jnp.sum(drate, axis=0, keepdims=True)
 
         @pl.when(i == 0)
-        def _init_dv():
+        def _init():
             dv_ref[s] = dv_s
             dphi_ref[s] = dph_s
 
         @pl.when(i != 0)
-        def _accum_dv():
+        def _accum():
             dv_ref[s] += dv_s
             dphi_ref[s] += dph_s
 
 
-# dtheta lives fully resident in VMEM during the backward kernel; above this
-# size the XLA recompute backward is used instead
-_BWD_DTHETA_VMEM_LIMIT = 6 * 2**20
-
-
 def _bwd_pallas(theta, v, phi, x, eta, min_val, g, log_transform, interpret):
+    """Two blocked kernels (dtheta; dv+dphi) — every output is tiled on its
+    own grid dimension, so nothing of shape (S,B,D) OR a full gradient array
+    ever sits in VMEM; the tv recompute runs twice (cheap MXU) in exchange."""
     S, B, K = theta.shape
     D = x.shape[-1]
     lgx = gammaln(x + 1.0)
     nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
-    B_pad = nb * TB
-    grid = (nd, nb)  # rows inner: dv/dphi (j-indexed) stay resident
-    dtheta_p, dv, dphi = pl.pallas_call(
-        functools.partial(_bwd_kernel, B=B, D=D, S=S,
-                          log_transform=log_transform),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # min_val (1,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
+    common_in = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # min_val (1,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
+    ]
+    kern = dict(B=B, D=D, S=S, log_transform=log_transform)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * S * B * K * D,
+        bytes_accessed=(S * B * K + S * K * D + 2 * B * D) * 4,
+        transcendentals=2 * S * B * D,
+    )
+
+    dtheta = pl.pallas_call(
+        functools.partial(_bwd_dtheta_kernel, **kern),
+        grid=(nb, nd),  # cols inner: dtheta block resident per row tile
+        in_specs=common_in + [
+            pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K, TD), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, TD), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TD), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TD), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, nb * TB, K), jnp.float32),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(min_val, g, theta, v, phi, x, eta, lgx)
+
+    dv, dphi = pl.pallas_call(
+        functools.partial(_bwd_dv_kernel, **kern),
+        grid=(nd, nb),  # rows inner: dv/dphi blocks resident per col tile
+        in_specs=common_in + [
             pl.BlockSpec((S, TB, K), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
@@ -329,52 +378,26 @@ def _bwd_pallas(theta, v, phi, x, eta, min_val, g, log_transform, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((S, B_pad, K), lambda j, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 1, TD), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S, B_pad, K), jnp.float32),
             jax.ShapeDtypeStruct((S, K, nd * TD), jnp.float32),
             jax.ShapeDtypeStruct((S, 1, nd * TD), jnp.float32),
         ),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * S * B * K * D,
-            bytes_accessed=(S * B * K + 2 * S * K * D + 2 * B * D) * 4,
-            transcendentals=2 * S * B * D,
-        ),
+        cost_estimate=cost,
     )(min_val, g, theta, v, phi, x, eta, lgx)
-    return dtheta_p[:, :B, :], dv[..., :D], dphi[..., :D]
+    return dtheta[:, :B, :], dv[..., :D], dphi[..., :D]
 
 
 def _sum_bwd(log_transform, interpret, res, g):
     theta, v, phi, x, eta, min_val = res
-    S, B, K = theta.shape
     g = jnp.asarray(g, jnp.float32)
-    if S * B * K * 4 <= _BWD_DTHETA_VMEM_LIMIT:
-        return _bwd_pallas(theta, v, phi, x, eta, min_val, g,
-                           log_transform, interpret) + (None, None, None)
-    # XLA recompute fallback (no (S,B,D) residual was stored either way)
-    tv = jnp.matmul(theta, v)
-    rate = _decode_rate(tv, eta, phi, log_transform)
-    ll = x * _safe_log(rate) - rate - gammaln(x + 1.0)
-    mv = min_val[0]
-    active = jnp.isfinite(ll) & (ll > mv) & (ll < 0.0)
-    # d ll / d rate = x / rate - 1 where active (rate floored like the log)
-    rate_safe = jnp.maximum(rate, jnp.finfo(rate.dtype).tiny)
-    drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g[:, None, None]
-    if log_transform:
-        dtv = drate * jnp.exp(tv * eta) * eta
-    else:
-        dtv = drate * eta
-    dtheta = jnp.matmul(dtv, jnp.swapaxes(v, -1, -2))
-    dv = jnp.matmul(jnp.swapaxes(theta, -1, -2), dtv)
-    dphi = jnp.sum(drate, axis=-2, keepdims=True)
-    return dtheta, dv, dphi, None, None, None
+    return _bwd_pallas(theta, v, phi, x, eta, min_val, g,
+                       log_transform, interpret) + (None, None, None)
 
 
 _loglik_given_min.defvjp(_sum_fwd, _sum_bwd)
