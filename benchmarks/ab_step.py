@@ -31,6 +31,8 @@ CONFIGS = {
                      remat=False),
     "fused-ig-bcast": dict(fused_likelihood=True, gamma_sampler="fused",
                            aux_broadcast=True, remat=False),
+    "fused-ig-xn": dict(fused_likelihood=True, gamma_sampler="fused",
+                        remat=False, fused_normals=False),
 }
 
 
@@ -42,10 +44,12 @@ def build(name, cfg, X):
     from spmf_tpu import PoissonFactorization
 
     remat = cfg.pop("remat", True)
+    fused_normals = cfg.pop("fused_normals", True)
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
         dtype="float32", scale_columns=False, **cfg,
     )
+    model._surrogate.fused_normals = fused_normals
     sur = model._surrogate
     opt = optax.chain(optax.clip(5.0), optax.adam(0.01))
     o = opt.init(model.surrogate_params)

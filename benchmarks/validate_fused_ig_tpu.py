@@ -154,3 +154,47 @@ path = os.path.join(os.path.dirname(__file__), "..", "docs",
 with open(path, "w") as f:
     json.dump(out, f, indent=2)
 print("wrote", os.path.abspath(path))
+
+# ------------------------------------------ 5. fused Normal sampler kernel
+from spmf_tpu.ops.fused_normal import fused_normal_sample_logq
+
+Sn, nn = 64, 4096
+locn = jnp.asarray(rng.normal(0.0, 1.0, nn), jnp.float32)
+rsn = jnp.asarray(rng.normal(0.0, 1.0, nn), jnp.float32)
+maskn = jnp.asarray((np.arange(nn) % 2 == 0).astype(np.float32))
+yn, lqn = jax.jit(fused_normal_sample_logq, static_argnums=4)(
+    locn, rsn, maskn, 99, Sn)
+yn = np.asarray(yn)
+# identity-bijector elements must be N(loc, softplus(rs)): standardize + KS
+ident = np.asarray(maskn) == 0
+z = (yn[:, ident] - np.asarray(locn)[ident]) / np.log1p(np.exp(np.asarray(rsn)))[ident]
+out["normal_ks"] = float(stats.kstest(z.ravel(), "norm").statistic)
+print("normal KS:", out["normal_ks"], flush=True)
+
+wyn = jnp.asarray(rng.normal(0, 1, (16, nn)), jnp.float32)
+wln = jnp.asarray(rng.normal(0, 1, (16,)), jnp.float32)
+
+
+@jax.jit
+def nscalar(l_, r_):
+    yy, ll = fused_normal_sample_logq(l_, r_, maskn, 123, 16)
+    return jnp.sum(yy * wyn) + jnp.sum(ll * wln)
+
+
+gl, gr = jax.jit(jax.grad(nscalar, (0, 1)))(locn, rsn)
+nfd = []
+for i in rng.integers(0, nn, 8):
+    h = 1e-2
+    basis = jnp.zeros(nn, jnp.float32).at[int(i)].set(h)
+    fd = float((nscalar(locn + basis, rsn) - nscalar(locn - basis, rsn)) / (2 * h))
+    an = float(gl[int(i)])
+    nfd.append(abs(fd - an) / max(abs(fd), abs(an), 1e-3))
+    fd = float((nscalar(locn, rsn + basis) - nscalar(locn, rsn - basis)) / (2 * h))
+    an = float(gr[int(i)])
+    nfd.append(abs(fd - an) / max(abs(fd), abs(an), 1e-3))
+out["normal_fd_grad_max_rel_err"] = float(np.max(nfd))
+print("normal FD grad max rel err:", out["normal_fd_grad_max_rel_err"], flush=True)
+
+with open(path, "w") as f:
+    json.dump(out, f, indent=2)
+print("rewrote", os.path.abspath(path))

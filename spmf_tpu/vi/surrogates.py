@@ -230,7 +230,68 @@ class SurrogatePosterior:
     def init(self):
         return {k: s.init() for k, s in self.surrogates.items()}
 
+    def _fused_normals_ok(self, names, sample_shape):
+        """OFF by default: interleaved A/B at B=4096/D=20k measured the
+        fused Normal kernel 4% SLOWER than XLA's sampling (37.3 vs 35.7
+        ms/step) — XLA fuses the threefry+erfinv chain directly into the
+        consumers, while the kernel adds an (S, total) HBM materialization.
+        Kept as an opt-in (`surrogate.fused_normals = True`); correctness
+        validated (KS 0.002, exact-eps grad check 0.8%)."""
+        if self.gamma_sampler != "fused":
+            return False
+        if not getattr(self, "fused_normals", False):
+            return False
+        if len(sample_shape) > 1 or self.dtype != jnp.float32:
+            return False
+        if any(not isinstance(self.surrogates[n].bijector,
+                              (tfb.Softplus, tfb.Identity))
+               for n in names):
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _sample_normals_fused(self, names, params, key, sample_shape):
+        """One Pallas kernel for all Normal surrogates: in-kernel RNG ->
+        loc + softplus(raw_scale)*eps -> bijector -> logq partial sums
+        (spmf_tpu.ops.fused_normal)."""
+        from spmf_tpu.ops.fused_normal import fused_normal_sample_logq
+
+        loc_flat = jnp.concatenate(
+            [params[n]["loc"].reshape(-1) for n in names]
+        )
+        rs_flat = jnp.concatenate(
+            [params[n]["raw_scale"].reshape(-1) for n in names]
+        )
+        mask_flat = jnp.concatenate([
+            jnp.full(
+                (self._sizes[n],),
+                1.0 if isinstance(self.surrogates[n].bijector, tfb.Softplus)
+                else 0.0,
+                jnp.float32,
+            )
+            for n in names
+        ])
+        S = sample_shape[0] if sample_shape else 1
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+        y, logq = fused_normal_sample_logq(loc_flat, rs_flat, mask_flat,
+                                           seed, S)
+        values = {}
+        off = 0
+        for n in names:
+            s = self.surrogates[n]
+            sz = self._sizes[n]
+            block = y[:, off:off + sz]
+            off += sz
+            values[n] = (
+                block.reshape(sample_shape + s.shape)
+                if sample_shape
+                else block[0].reshape(s.shape)
+            )
+        return values, (logq if sample_shape else logq[0])
+
     def _sample_normals(self, names, params, key, sample_shape):
+        if self._fused_normals_ok(names, sample_shape):
+            return self._sample_normals_fused(names, params, key,
+                                              sample_shape)
         values, logq = {}, 0.0
         total = sum(self._sizes[n] for n in names)
         eps = jax.random.normal(key, sample_shape + (total,), self.dtype)

@@ -105,3 +105,59 @@ def test_tile_fwd_matches_surrogate_sampler_math():
         np.asarray(_wh_value(a, eps, s1, BOOST)),
         rtol=1e-12,
     )
+
+
+def test_normal_tile_bwd_matches_autodiff():
+    """Hand-derived VJP of the fused Normal sampler tile math vs autodiff
+    (spmf_tpu/ops/fused_normal.py), both bijector branches."""
+    from spmf_tpu.ops.fused_normal import _ntile_bwd, _ntile_fwd
+
+    loc = jnp.asarray(RNG.normal(0.0, 2.0, N), jnp.float64)
+    rs = jnp.asarray(RNG.normal(0.0, 1.5, N), jnp.float64)
+    eps = jnp.asarray(RNG.normal(0.0, 1.0, N), jnp.float64)
+    mask = jnp.asarray((RNG.random(N) < 0.5).astype(np.float64))
+    gy = jnp.asarray(RNG.normal(0.0, 1.0, N), jnp.float64)
+    glq = jnp.asarray(RNG.normal(0.0, 1.0, ()), jnp.float64)
+
+    def scalar_loss(loc_, rs_):
+        scale = jax.nn.softplus(rs_)
+        y, lq = _ntile_fwd(loc_, scale, jnp.log(scale), mask, eps)
+        return jnp.sum(y * gy) + glq * jnp.sum(lq)
+
+    gl_ad, gr_ad = jax.grad(scalar_loss, (0, 1))(loc, rs)
+
+    scale = jax.nn.softplus(rs)
+    dy_dloc, dy_drs, dlq_dloc, dlq_drs = _ntile_bwd(
+        loc, scale, jax.nn.sigmoid(rs), mask, eps
+    )
+    gl = gy * dy_dloc + glq * dlq_dloc
+    gr = gy * dy_drs + glq * dlq_drs
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gl_ad),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ad),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_normal_tile_fwd_matches_surrogate_math():
+    """y and logq must equal the XLA _sample_normals math given the same
+    eps: x = loc + scale*eps, logq = N(x; loc, scale) - fldj."""
+    from scipy import stats as st
+
+    from spmf_tpu.ops.fused_normal import _ntile_fwd
+
+    loc = RNG.normal(0.0, 2.0, N)
+    rs = RNG.normal(0.0, 1.5, N)
+    eps = RNG.normal(0.0, 1.0, N)
+    scale = np.log1p(np.exp(rs))
+    for m in (0.0, 1.0):
+        mask = np.full(N, m)
+        y, lq = _ntile_fwd(jnp.asarray(loc), jnp.asarray(scale),
+                           jnp.asarray(np.log(scale)), jnp.asarray(mask),
+                           jnp.asarray(eps))
+        x = loc + scale * eps
+        expect_y = np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0) if m else x
+        np.testing.assert_allclose(np.asarray(y), expect_y, rtol=1e-12)
+        expect_lq = st.norm.logpdf(x, loc, scale)
+        if m:
+            expect_lq += np.log1p(np.exp(-np.abs(-x))) + np.maximum(-x, 0)
+        np.testing.assert_allclose(np.asarray(lq), expect_lq, rtol=1e-9)
