@@ -29,6 +29,10 @@ def main():
     ap.add_argument("-lr", "--learning-rate", type=float, default=0.01)
     ap.add_argument("-c", "--clip-value", type=float, default=10.0)
     ap.add_argument("--no-figures", action="store_true")
+    ap.add_argument("--sparse", action="store_true",
+                    help="train on padded COO triplets (device-side sparse "
+                         "energy; never densifies row slabs — for matrices "
+                         "too wide/tall to slab through host RAM)")
     args = ap.parse_args()
 
     datapath = os.path.join(args.datapath, "")
@@ -59,22 +63,35 @@ def main():
     col_norm = np.where(col_norm > 0, col_norm, 1.0)
     row_norm = row_size_factors
 
-    data = (
-        ArrayDataset(
-            {"data": X, "indices": np.arange(N), "normalization": row_size_factors}
-        )
-        .shuffle(buffer_size=N)
-        .batch(BATCH_SIZE, drop_remainder=True)
-    )
-    try:
-        # keep the whole matrix device-resident: batches become on-device
-        # gathers instead of per-step host->device transfers
-        import jax
+    if args.sparse:
+        from spmf_tpu.data import SparseCounts
 
-        if jax.default_backend() != "cpu":
-            data = data.to_device()
-    except Exception:
-        pass
+        data = (
+            SparseCounts.from_dense(
+                X, extras={"normalization": row_size_factors}
+            )
+            .shuffle(seed=0)
+            .batch(BATCH_SIZE, drop_remainder=True)
+            .as_coo()
+        )
+    else:
+        data = (
+            ArrayDataset(
+                {"data": X, "indices": np.arange(N),
+                 "normalization": row_size_factors}
+            )
+            .shuffle(buffer_size=N)
+            .batch(BATCH_SIZE, drop_remainder=True)
+        )
+        try:
+            # keep the whole matrix device-resident: batches become
+            # on-device gathers instead of per-step host->device transfers
+            import jax
+
+            if jax.default_backend() != "cpu":
+                data = data.to_device()
+        except Exception:
+            pass
 
     factor = PoissonMatrixFactorization(
         data,

@@ -47,11 +47,16 @@ class PoissonMatrixFactorization(PoissonFactorization):
         if feature_dim is None and data is not None:
             from spmf_tpu.data import as_data_factory
 
-            probe = next(iter(as_data_factory(data)()))
-            for key in ("counts", "data"):
-                if key in probe:
-                    feature_dim = int(np.asarray(probe[key]).shape[-1])
-                    break
+            if hasattr(data, "shape") and not hasattr(data, "__array__"):
+                # SparseCounts-style dataset: COO batches carry no dense
+                # count array to probe, but the dataset knows its shape
+                feature_dim = int(data.shape[-1])
+            else:
+                probe = next(iter(as_data_factory(data)()))
+                for key in ("counts", "data"):
+                    if key in probe:
+                        feature_dim = int(np.asarray(probe[key]).shape[-1])
+                        break
         super().__init__(
             latent_dim=latent_dim,
             feature_dim=feature_dim,

@@ -592,12 +592,6 @@ class PoissonFactorization(BayesianModel):
 
         from spmf_tpu.ops import sparse_encode_coo
 
-        if self.log_transform:
-            raise NotImplementedError(
-                "the sparse COO energy supports the identity decode link "
-                "only (log_transform=True needs a dense sum of exp rates); "
-                "use dense slab batches"
-            )
         if self.mesh is not None:
             raise NotImplementedError(
                 "the sparse COO energy is single-device for now; "
@@ -610,7 +604,7 @@ class PoissonFactorization(BayesianModel):
 
         A = self.encoding_matrix(params["u"], params["s"])   # (..., D, K)
         theta = sparse_encode_coo(
-            rows, cols, vals, B, A, self.eta_i, False,
+            rows, cols, vals, B, A, self.eta_i, self.log_transform,
             xi_global=self.xi_u_global if self.scale_rows else None,
         )                                                    # (..., B, K)
         prior_parts["z"] = self._theta_prior_log_prob(theta)
@@ -625,19 +619,48 @@ class PoissonFactorization(BayesianModel):
         theta_r = jnp.take(theta, rows, axis=-2)             # (..., nnz, K)
         v_c = jnp.take(v, cols, axis=-1)                     # (..., K, nnz)
         tv = jnp.einsum("...nk,...kn->...n", theta_r, v_c)
-        rate_nz = tv * eta[cols] + jnp.take(phi[..., 0, :], cols, axis=-1)
+        phi_c = jnp.take(phi[..., 0, :], cols, axis=-1)
+        if self.log_transform:
+            rate_nz = jnp.exp(tv * eta[cols]) - 1.0 + phi_c
+        else:
+            rate_nz = tv * eta[cols] + phi_c
         rate_nz = jnp.maximum(rate_nz, jnp.finfo(self.dtype).tiny)
         nz_term = jnp.sum(
             vals * jnp.log(rate_nz) - gammaln(vals + 1.0), axis=-1
         )
-        # -sum_ij rate over ALL B x D entries, without materializing them:
-        # sum_ij (theta @ v) * eta = sum_k [sum_b theta_bk][sum_d v_kd eta_d]
-        v_eta = jnp.sum(v * eta, axis=-1)                    # (..., K)
-        total_rate = jnp.einsum(
-            "...k,...k->...", jnp.sum(theta, axis=-2), v_eta
-        ) + B * jnp.sum(phi, axis=(-1, -2))
+        # -sum_ij rate over ALL B x D entries, without materializing them
+        if self.log_transform:
+            # rate = exp(tv*eta) - 1 + phi: the exp total needs the fused
+            # reduction kernel (f32); f64/CPU falls back to a direct sum
+            total_rate = self._exp_rate_total(theta, v) \
+                - B * D + B * jnp.sum(phi, axis=(-1, -2))
+        else:
+            # sum_ij (theta@v)*eta = sum_k [sum_b theta_bk][sum_d v_kd eta_d]
+            v_eta = jnp.sum(v * eta, axis=-1)                # (..., K)
+            total_rate = jnp.einsum(
+                "...k,...k->...", jnp.sum(theta, axis=-2), v_eta
+            ) + B * jnp.sum(phi, axis=(-1, -2))
         prior_parts["x"] = nz_term - total_rate
         return prior_parts
+
+    def _exp_rate_total(self, theta, v):
+        """sum_ij exp((theta @ v) * eta) per sample, for the sparse energy's
+        log-transform link — Pallas tile reduction in f32 (never
+        materializes (S, B, D)); direct XLA sum in f64 (CPU parity runs)."""
+        from spmf_tpu.ops import fused_exp_rate_sum
+
+        if self.dtype == jnp.float32:
+            squeeze = theta.ndim == 2
+            th = theta[None] if squeeze else theta
+            vv = v[None] if squeeze else v
+            out = fused_exp_rate_sum(th, vv, self.eta_i,
+                                     self._fused_interpret)
+            return (out[0] if squeeze else out).astype(self.dtype)
+        return jnp.sum(
+            jnp.exp(jnp.matmul(theta, v)
+                    * jnp.asarray(self.eta_i, self.dtype)),
+            axis=(-1, -2),
+        )
 
     def _can_fuse(self, batch_shape=None):
         """Fused kernel only for the stock Poisson decode path: no subclass

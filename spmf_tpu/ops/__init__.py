@@ -1,4 +1,5 @@
 from .fused_poisson import (
+    fused_exp_rate_sum,
     fused_poisson_loglik,
     fused_poisson_loglik_sharded,
     poisson_loglik_reference,
@@ -6,6 +7,7 @@ from .fused_poisson import (
 from .sparse_encode import sparse_encode_coo
 
 __all__ = [
+    "fused_exp_rate_sum",
     "fused_poisson_loglik",
     "fused_poisson_loglik_sharded",
     "poisson_loglik_reference",

@@ -215,3 +215,36 @@ def test_sparse_coo_training_never_densifies():
     assert losses[-1] < losses[0]
     # compute_scales used the CSR fast path (eta from col stats)
     assert np.asarray(m.eta_i).shape == (1, 16)
+
+
+def test_coo_energy_matches_dense_energy_log_transform():
+    """Sparse COO energy with the exp (log_transform) decode link equals the
+    dense-path energy (f64 CPU: direct exp-total fallback)."""
+    import jax
+    import jax.numpy as jnp
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.8, (40, 12)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    m = PoissonFactorization(latent_dim=3, feature_dim=12, u_tau_scale=0.1,
+                             dtype="float64", data=sp.batch(40),
+                             log_transform=True)
+    key = jax.random.PRNGKey(0)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (3,))
+
+    dense_batch = {"counts": dense, "indices": np.arange(40)}
+    rows, cols, vals = sp.batch_coo(np.arange(40))
+    pad = len(vals) + 21
+    coo_batch = {
+        "coo_rows": np.zeros(pad, np.int32),
+        "coo_cols": np.zeros(pad, np.int32),
+        "coo_vals": np.zeros(pad),
+        "indices": np.arange(40),
+    }
+    coo_batch["coo_rows"][:len(vals)] = rows
+    coo_batch["coo_cols"][:len(vals)] = cols
+    coo_batch["coo_vals"][:len(vals)] = vals
+
+    d = m.unormalized_log_prob(data=dense_batch, **samples)
+    c = m.unormalized_log_prob(data=coo_batch, **samples)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=1e-10)

@@ -117,3 +117,28 @@ def test_sparse_encode_log_transform():
     z_dense = np.asarray(m.encode(dense))
     z_sparse = np.asarray(m.encode_sparse(SparseCounts.from_dense(dense)))
     np.testing.assert_allclose(z_sparse, z_dense, rtol=1e-9, atol=1e-12)
+
+
+def test_fused_exp_rate_sum_matches_direct():
+    """Sparse-energy exp total kernel vs direct XLA sum, value + grads
+    (interpret mode on CPU)."""
+    from spmf_tpu.ops import fused_exp_rate_sum
+
+    rng = np.random.default_rng(5)
+    S, B, K, D = 3, 20, 4, 17
+    theta = jnp.asarray(rng.normal(0.1, 0.2, (S, B, K)), jnp.float32)
+    v = jnp.asarray(abs(rng.normal(0.1, 0.1, (S, K, D))), jnp.float32)
+    eta = jnp.asarray(abs(rng.normal(1.0, 0.1, (1, D))), jnp.float32)
+
+    def direct(t, vv):
+        return jnp.sum(jnp.exp(jnp.matmul(t, vv) * eta), axis=(-1, -2))
+
+    out = fused_exp_rate_sum(theta, v, eta, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct(theta, v)),
+                               rtol=1e-5)
+    g1 = jax.grad(lambda t, vv: jnp.sum(fused_exp_rate_sum(t, vv, eta, True)),
+                  (0, 1))(theta, v)
+    g2 = jax.grad(lambda t, vv: jnp.sum(direct(t, vv)), (0, 1))(theta, v)
+    for a, b, n in zip(g1, g2, "tv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6, err_msg=n)
