@@ -34,8 +34,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--gamma", default="fused")
+    ap.add_argument("--batch", type=int, default=None)
     args = ap.parse_args()
 
+    global B
+    if args.batch:
+        B = args.batch
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.poisson(1.0, (B, D)), jnp.float32)
     model = PoissonFactorization(
@@ -78,20 +82,33 @@ def main():
     modes = os.environ.get(
         "ABLATION_MODES",
         "full,no-likelihood,no-priors,no-z,sampling-only").split(",")
-    steps = {}
+    k = jax.random.PRNGKey(0)
+    states = []
     for mode in modes:
-        step = steps.setdefault(mode, make_step(mode))
+        step = make_step(mode)
         o = opt.init(model.surrogate_params)
-        k = jax.random.PRNGKey(0)
         p, o2, l = step(model.surrogate_params, o, k, X)
         jax.block_until_ready(p)
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            p, o2, l = step(p, o2, jax.random.fold_in(k, i), X)
-        jax.block_until_ready(p)
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"{mode:>14s}: {dt*1000:7.2f} ms/step  loss={float(l):.4g}",
-              flush=True)
+        states.append({"mode": mode, "step": step, "p": p, "o": o2,
+                       "l": l, "times": []})
+    per_round, rounds = max(args.iters // 6, 3), 6
+    for st in states:  # warmup round (first-config penalty)
+        for i in range(per_round):
+            st["p"], st["o"], st["l"] = st["step"](
+                st["p"], st["o"], jax.random.fold_in(k, i), X)
+        jax.block_until_ready(st["p"])
+    for r in range(rounds):
+        for st in states:
+            t0 = time.perf_counter()
+            for i in range(per_round):
+                st["p"], st["o"], st["l"] = st["step"](
+                    st["p"], st["o"], jax.random.fold_in(k, r * 97 + i), X)
+            jax.block_until_ready(st["p"])
+            st["times"].append((time.perf_counter() - t0) / per_round)
+    for st in states:
+        dt = float(np.median(st["times"]))
+        print(f"{st['mode']:>14s}: {dt*1000:7.2f} ms/step  "
+              f"loss={float(st['l']):.4g}  (median of {rounds})", flush=True)
 
 
 if __name__ == "__main__":

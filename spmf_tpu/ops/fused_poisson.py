@@ -264,37 +264,16 @@ def _masks(i, j, B, D, K):
     return in_bounds, row_ok, col_ok
 
 
-def _bwd_dtheta_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
-                       eta_ref, lgx_ref, dtheta_ref,
-                       *, B, D, S, log_transform):
-    """dtheta = dtv @ v^T, accumulated over col tiles. Grid (rows, cols)
-    with cols INNER so the dtheta block (row-indexed) stays resident."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    K = theta_ref.shape[-1]
-    x, eta, lgx = x_ref[:], eta_ref[:], lgx_ref[:]
-    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
-    for s in range(S):
-        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
-        v_s = jnp.where(col_ok, v_ref[s], 0.0)
-        dtv, _ = _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x, eta,
-                          lgx, in_bounds, log_transform)
-        dth = jnp.dot(dtv, v_s.T, preferred_element_type=jnp.float32)
-
-        @pl.when(j == 0)
-        def _init():
-            dtheta_ref[s] = dth
-
-        @pl.when(j != 0)
-        def _accum():
-            dtheta_ref[s] += dth
-
-
-def _bwd_dv_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
-                   eta_ref, lgx_ref, dv_ref, dphi_ref,
-                   *, B, D, S, log_transform):
-    """dv = theta^T @ dtv and dphi = row-sums, accumulated over row tiles.
-    Grid (cols, rows) with rows INNER so the dv/dphi blocks stay resident."""
+def _bwd_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
+                eta_ref, lgx_ref, dtheta_p_ref, dv_ref, dphi_ref,
+                *, B, D, S, log_transform):
+    """All three gradients in ONE tile pass (the tv recompute is the
+    expensive part at K=32 — the MXU runs at ~25% utilization, so saving a
+    pass is ~25% of the backward). Grid (cols, rows) with rows INNER:
+    dv/dphi blocks (col-indexed) stay resident across the row sweep, while
+    dtheta is written as per-col-tile PARTIALS (summed over the col axis in
+    XLA afterwards — a (nd, S, B, K) f32 spill, trivial traffic next to the
+    (B, D) operands)."""
     j = pl.program_id(0)
     i = pl.program_id(1)
     K = theta_ref.shape[-1]
@@ -305,6 +284,8 @@ def _bwd_dv_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
         v_s = jnp.where(col_ok, v_ref[s], 0.0)
         dtv, drate = _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x,
                               eta, lgx, in_bounds, log_transform)
+        dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
+                                     preferred_element_type=jnp.float32)
         dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
         dph_s = jnp.sum(drate, axis=0, keepdims=True)
 
@@ -327,45 +308,13 @@ def _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g, log_transform,
     S, B, K = theta.shape
     D = x.shape[-1]
     nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
-    common_in = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # min_val (1,)
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
-    ]
-    kern = dict(B=B, D=D, S=S, log_transform=log_transform)
-    cost = pl.CostEstimate(
-        flops=2 * 2 * S * B * K * D,
-        bytes_accessed=(S * B * K + S * K * D + 2 * B * D) * 4,
-        transcendentals=2 * S * B * D,
-    )
-
-    dtheta = pl.pallas_call(
-        functools.partial(_bwd_dtheta_kernel, **kern),
-        grid=(nb, nd),  # cols inner: dtheta block resident per row tile
-        in_specs=common_in + [
-            pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, K, TD), lambda i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1, TD), lambda i, j: (0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TD), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, nb * TB, K), jnp.float32),
-        interpret=interpret,
-        cost_estimate=cost,
-    )(min_val, g, theta, v, phi, x, eta, lgx)
-
-    dv, dphi = pl.pallas_call(
-        functools.partial(_bwd_dv_kernel, **kern),
+    dtheta_p, dv, dphi = pl.pallas_call(
+        functools.partial(_bwd_kernel, B=B, D=D, S=S,
+                          log_transform=log_transform),
         grid=(nd, nb),  # rows inner: dv/dphi blocks resident per col tile
-        in_specs=common_in + [
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # min_val (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
             pl.BlockSpec((S, TB, K), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
@@ -380,18 +329,27 @@ def _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g, log_transform,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            pl.BlockSpec((1, S, TB, K), lambda j, i: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 1, TD), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((nd, S, nb * TB, K), jnp.float32),
             jax.ShapeDtypeStruct((S, K, nd * TD), jnp.float32),
             jax.ShapeDtypeStruct((S, 1, nd * TD), jnp.float32),
         ),
         interpret=interpret,
-        cost_estimate=cost,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * S * B * K * D,
+            bytes_accessed=(nd * S * B * K + S * B * K + 2 * S * K * D
+                            + 2 * B * D) * 4,
+            transcendentals=2 * S * B * D,
+        ),
     )(min_val, g, theta, v, phi, x, eta, lgx)
+    dtheta = jnp.sum(dtheta_p, axis=0)
     return dtheta[:, :B, :], dv[..., :D], dphi[..., :D]
 
 
