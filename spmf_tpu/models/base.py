@@ -215,7 +215,7 @@ class BayesianModel:
 
     # ------------------------------------------------------------- reporting
     def waic(self, data=None, num_samples: int = 100, seed: int = 1,
-             subsample=None):
+             subsample=None, sample_chunk: int = 10):
         """{'waic','se','lppd','pwaic'} pointwise per-row (reference
         observed output: notebooks/factorizing_random_noise cell 9).
 
@@ -241,6 +241,7 @@ class BayesianModel:
             factory,
             num_samples=num_samples,
             seed=seed,
+            sample_chunk=sample_chunk,
         )
 
     def set_calibration_expectations(self, num_samples: int = 250, seed: int = 42):

@@ -121,14 +121,16 @@ class PoissonFactorization(BayesianModel):
         self.fused_likelihood = fused_likelihood
         if gamma_sampler is None:
             # 'fused': one Pallas kernel with in-kernel RNG for the whole
-            # horseshoe-auxiliary block (ops/fused_ig.py) — TPU single-chip
-            # only (under a mesh the flat concat would gather fp shards);
-            # elsewhere the WH 'fast' sampler (same math, threefry RNG)
+            # horseshoe-auxiliary block (ops/fused_ig.py). Composes with
+            # meshes: replicated params (dp-only) run the kernel replicated;
+            # fp-sharded params run it per-shard under shard_map
+            # (SurrogatePosterior._sample_igs_fused_sharded). Elsewhere the
+            # WH 'fast' sampler (same math, threefry RNG).
             import jax as _jax
 
             gamma_sampler = (
                 "fused"
-                if _jax.default_backend() == "tpu" and mesh is None
+                if _jax.default_backend() == "tpu"
                 and self.dtype == jnp.float32
                 else "fast"
             )
@@ -506,10 +508,14 @@ class PoissonFactorization(BayesianModel):
             aux_names = tuple(
                 n for n in sur if "_eta" in n or "_tau" in n
             )
+        from spmf_tpu.parallel.mesh import _feature_axis_for
+
         self._surrogate = SurrogatePosterior(
             sur,
             gamma_sampler=getattr(self, "gamma_sampler", "exact"),
             broadcast_names=aux_names,
+            mesh=self.mesh,
+            feature_axes={n: _feature_axis_for(n) for n in sur},
         )
         self.surrogate_params = self._surrogate.init()
         self.var_list = list(sur.keys())
@@ -698,6 +704,27 @@ class PoissonFactorization(BayesianModel):
         return self.unormalized_log_prob(**dict(zip(self.var_list, x)))
 
     def _row_log_likelihood(self, batch, samples):
+        if self._can_fuse() and self.mesh is None:
+            # stream per-row sums tile-by-tile (no (S,B,D) tensor) — WAIC
+            # at D=20k with 100 posterior samples would otherwise
+            # materialize ~8 GB per batch (docs/ROADMAP.md item 7)
+            from spmf_tpu.ops import fused_poisson_row_loglik
+
+            x = jnp.asarray(self._counts(batch), self.dtype)
+            theta = self.encode(x, samples["u"], samples["s"])
+            phi = self.intercept_matrix(samples["w"], samples["s"])
+            B = self.decoding_matrix(samples["v"])
+            squeeze = theta.ndim == 2
+            out = fused_poisson_row_loglik(
+                theta[None] if squeeze else theta,
+                B[None] if squeeze else B,
+                phi[None] if squeeze else phi,
+                x,
+                self.eta_i,
+                self.log_transform,
+                self._fused_interpret,
+            ).astype(self.dtype)
+            return out[0] if squeeze else out
         ll = self.log_likelihood_components(data=batch, **samples)["log_likelihood"]
         return jnp.sum(ll, axis=-1)  # (S, B)
 

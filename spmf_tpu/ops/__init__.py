@@ -2,6 +2,7 @@ from .fused_poisson import (
     fused_exp_rate_sum,
     fused_poisson_loglik,
     fused_poisson_loglik_sharded,
+    fused_poisson_row_loglik,
     poisson_loglik_reference,
 )
 from .sparse_encode import sparse_encode_coo
@@ -10,6 +11,7 @@ __all__ = [
     "fused_exp_rate_sum",
     "fused_poisson_loglik",
     "fused_poisson_loglik_sharded",
+    "fused_poisson_row_loglik",
     "poisson_loglik_reference",
     "sparse_encode_coo",
 ]

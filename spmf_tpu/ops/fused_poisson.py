@@ -9,32 +9,47 @@ The hot path of the ADVI energy (reference: mederrata_spmf/poisson.py:156-184
     out  = sum(clip(ll, m, 0) with non-finite -> m)   per-sample scalar
 
 Under plain XLA the two dependent reductions (global min, then clipped sum)
-force the (S,B,D) ``ll`` tensor through HBM. Here the computation runs as two
-Pallas kernels instead — a min kernel accumulating the global finite-min in
-SMEM, and a sum kernel that recomputes each tile and accumulates the clipped
-per-sample sums given the (now scalar) bound — so nothing of shape (S,B,D)
-ever touches HBM: 2x the MXU FLOPs (cheap) for ~S x less HBM traffic (the
-bottleneck).
+force the (S,B,D) ``ll`` tensor through HBM. Here the whole computation runs
+as ONE Pallas pass. The key invariant: with ``m = max(min(finite ll) - 10,
+FLOOR)`` every finite ``ll`` is either ``> FLOOR`` (in which case ``ll >= m``
+always holds, since either ``m = min - 10 < ll`` or ``m = FLOOR < ll``) or
+``<= FLOOR <= m`` (contributing exactly ``m``, since ``m = FLOOR`` whenever
+such entries exist). So
 
-Splitting the phases into separate kernels (rather than a leading phase grid
-dim) is what lets the clip bound cross devices: ``fused_poisson_loglik_
-sharded`` runs both kernels inside ``jax.shard_map`` over a dp x fp mesh with
-a ``lax.pmin`` between them and a ``lax.psum`` after — the data-dependent
-clip is the cross-device-sensitive part of the reference semantics
-(SURVEY.md §7 hard-part (d)). Same per-tile DMA traffic as the old fused
-two-phase grid (phases never shared tile DMAs anyway).
+    sum(clip(ll, m, 0), nonfinite -> m)
+  = sum(min(ll, 0) over finite ll > FLOOR)  +  m * #(nonfinite or <= FLOOR)
+
+and the kernel only needs to emit three *scalars-per-sample* — the partial
+sums, the clip counts, and the global finite-min — with the ``m``-dependent
+correction applied to scalars in XLA afterwards. One pass instead of the
+previous min-kernel + sum-kernel two (halving both the (B,D) DMA traffic and
+the MXU recompute), and nothing of shape (S,B,D) ever touches HBM.
+
+The scalar decomposition is also what makes the mesh composition cheap:
+``fused_poisson_loglik_sharded`` runs the single stats kernel per shard
+inside ``jax.shard_map`` over a dp x fp mesh, then ``lax.pmin``/``lax.psum``
+the three scalar outputs — the data-dependent clip is the cross-device-
+sensitive part of the reference semantics (SURVEY.md §7 hard-part (d)).
+
+``lgamma(x+1)`` is computed IN-KERNEL per tile (8-step shift + Stirling at
+``z = x+9``, exact to f32 roundoff for x in [0, ~4e9] — Mosaic has no
+lgamma primitive) instead of materializing a (B,D) ``lgx`` tensor in XLA:
+at B=4096, D=20k that removes a 328 MB materialization plus one read per
+kernel pass.
 
 Kernel geometry: the ELBO-sample dim S is unrolled *inside* the kernel body
-(theta/v/phi blocks carry full S), so each (row-tile, col-tile) of x/lgx is
+(theta/v/phi blocks carry full S), so each (row-tile, col-tile) of x is
 DMA'd once per kernel, and each grid is (B/128) x (D/1024) steps.
 
-Gradients: ``_loglik_given_min`` carries a custom VJP whose backward pass
-recomputes the rate in XLA from the (small) inputs — no (S,B,D) residuals
-are saved, which also beats XLA autodiff (measured 121 ms vs 161 ms at
-S=8, B=1024, K=32, D=20k on v5e). Divergence from raw autodiff (documented
-in docs/PARITY.md): the clip bound ``m`` is treated as a constant in the
-backward (autodiff would route a gradient to the argmin element); the XLA
-fallback path keeps exact autodiff.
+Gradients: ``_fused_stats`` carries a custom VJP whose backward kernel
+recomputes each tile — no (S,B,D) residuals are saved, which also beats XLA
+autodiff (measured 121 ms vs 161 ms at S=8, B=1024, K=32, D=20k on v5e).
+Divergence from raw autodiff (documented in docs/PARITY.md): the clip bound
+``m`` is treated as a constant in the backward (autodiff would route a
+gradient to the argmin element); the XLA fallback path keeps exact autodiff.
+The active-gradient set {finite, ll < 0, ll > m} is expressible with the
+static FLOOR (``ll > FLOOR``, by the invariant above), so the backward does
+not need ``m`` at all.
 """
 from __future__ import annotations
 
@@ -54,6 +69,24 @@ __all__ = [
 ]
 
 TB, TD = 128, 1024  # row / feature tile sizes (f32 min tile is (8,128))
+FLOOR = -1e27       # static clip-bound floor (see _floor_min_val)
+
+
+def _lgamma_xp1(x):
+    """lgamma(x+1) for x >= 0, Mosaic-safe (no lgamma primitive): shift the
+    argument up 8 (two 4-term products, each < 3.4e38 for x < ~4e9) and
+    apply a 3-term Stirling series at z = x+9 >= 9. Max error vs float64
+    gammaln: ~1.5e-6 relative — f32 roundoff."""
+    z = x + 9.0
+    zi = 1.0 / z
+    zi2 = zi * zi
+    series = (
+        (z - 0.5) * jnp.log(z) - z + 0.9189385332046727  # 0.5*log(2*pi)
+        + zi * (1.0 / 12.0 + zi2 * (-1.0 / 360.0 + zi2 * (1.0 / 1260.0)))
+    )
+    p1 = (x + 1.0) * (x + 2.0) * (x + 3.0) * (x + 4.0)
+    p2 = (x + 5.0) * (x + 6.0) * (x + 7.0) * (x + 8.0)
+    return series - jnp.log(p1) - jnp.log(p2)
 
 
 def _decode_rate(theta_v, eta, phi, log_transform):
@@ -104,13 +137,18 @@ def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform):
     return x * _safe_log(rate) - rate - lgx
 
 
-def _min_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
-                min_ref, *, B, D, S, log_transform):
+def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
+                  sum_ref, cnt_ref, min_ref, *, B, D, S, log_transform):
+    """Single pass emitting, per ELBO sample: the partial sum of
+    ``min(ll, 0)`` over finite ``ll > FLOOR`` entries, the count of
+    clipped entries (nonfinite or ``<= FLOOR``), and (shared across
+    samples) the global finite-min of ``ll`` (0-initialized, matching
+    ``jnp.min(where(finite, ll, 0))`` of the reference path)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     x = x_ref[:]
     eta = eta_ref[:]
-    lgx = lgx_ref[:]
+    lgx = _lgamma_xp1(x)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     in_bounds = (row_ids < B) & (col_ids < D)
@@ -118,38 +156,23 @@ def _min_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
     @pl.when((i == 0) & (j == 0))
     def _init():
         min_ref[0] = jnp.float32(0.0)
+        for s in range(S):
+            sum_ref[s] = jnp.float32(0.0)
+            cnt_ref[s] = jnp.int32(0)
 
     for s in range(S):  # static unroll: blocks carry the full sample dim
         ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
-        tile_min = jnp.min(
-            jnp.where(jnp.isfinite(ll) & in_bounds, ll, 0.0)
+        finite = jnp.isfinite(ll)
+        min_ref[0] = jnp.minimum(
+            min_ref[0], jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
         )
-        min_ref[0] = jnp.minimum(min_ref[0], tile_min)
-
-
-def _sum_kernel(min_ref, theta_ref, v_ref, phi_ref, x_ref, eta_ref, lgx_ref,
-                out_ref, *, B, D, S, log_transform):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    x = x_ref[:]
-    eta = eta_ref[:]
-    lgx = lgx_ref[:]
-    min_val = min_ref[0]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
-    in_bounds = (row_ids < B) & (col_ids < D)
-
-    @pl.when((i == 0) & (j == 0))
-    def _init():
-        for s in range(S):
-            out_ref[s] = jnp.float32(0.0)
-
-    for s in range(S):
-        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
-        llc = jnp.clip(ll, min_val, 0.0)
-        llc = jnp.where(jnp.isfinite(ll), llc, min_val)
-        llc = jnp.where(in_bounds, llc, 0.0)
-        out_ref[s] = out_ref[s] + jnp.sum(llc)
+        keep = finite & (ll > jnp.float32(FLOOR))
+        sum_ref[s] = sum_ref[s] + jnp.sum(
+            jnp.where(keep & in_bounds, jnp.minimum(ll, 0.0), 0.0)
+        )
+        cnt_ref[s] = cnt_ref[s] + jnp.sum(
+            jnp.where((~keep) & in_bounds, 1, 0).astype(jnp.int32)
+        )
 
 
 def _data_specs(S, K):
@@ -164,77 +187,67 @@ def _data_specs(S, K):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TD), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, TD), lambda i, j: (i, j),
-                     memory_space=pltpu.VMEM),
     ]
 
 
 def _cost(S, B, K, D):
     return pl.CostEstimate(
         flops=2 * S * B * K * D,
-        bytes_accessed=(S * B * K + S * K * D + 2 * B * D) * 4,
+        bytes_accessed=(S * B * K + S * K * D + B * D) * 4,
         transcendentals=2 * S * B * D,
     )
 
 
-def _fused_min(theta, v, phi, x, eta, lgx, log_transform, interpret):
-    """Raw global finite-min of ll (0-initialized), shape (1,) f32."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_stats(theta, v, phi, x, eta, log_transform, interpret):
+    """(sums (S,) f32, counts (S,) i32, global finite-min (1,) f32) of the
+    clip decomposition (module docstring). Inputs must be f32-prepped.
+    Backward: gradient of the sums only (the counts are piecewise constant
+    and the clip bound is a constant to autodiff by design)."""
+    out, _ = _stats_fwd(theta, v, phi, x, eta, log_transform, interpret)
+    return out
+
+
+def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret):
     S, B, K = theta.shape
     D = x.shape[-1]
     grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
-    return pl.pallas_call(
-        functools.partial(_min_kernel, B=B, D=D, S=S,
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_stats_kernel, B=B, D=D, S=S,
                           log_transform=log_transform),
         grid=grid,
         in_specs=_data_specs(S, K),
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+        out_specs=(smem, smem, smem),
+        out_shape=(
+            jax.ShapeDtypeStruct((S,), jnp.float32),
+            jax.ShapeDtypeStruct((S,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
         interpret=interpret,
         cost_estimate=_cost(S, B, K, D),
-    )(theta, v, phi, x, eta, lgx)
+    )(theta, v, phi, x, eta)
+    return out, (theta, v, phi, x, eta)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _loglik_given_min(theta, v, phi, x, eta, lgx, min_val, log_transform,
-                      interpret):
-    """Per-sample clipped log-likelihood sums given a precomputed clip
-    bound ``min_val`` (shape (1,), already -10-shifted and floored) and the
-    precomputed ``lgx = lgamma(x+1)`` (materialized ONCE per step and shared
-    by all four kernel passes — it is a 328 MB tensor at B=4096, D=20k).
-    The bound is a constant to autodiff — matching the single-device fused
-    semantics and making the cross-device pmin trivially differentiable."""
-    return _sum_forward(theta, v, phi, x, eta, lgx, min_val, log_transform,
-                        interpret)
+def _stats_bwd(log_transform, interpret, res, cot):
+    theta, v, phi, x, eta = res
+    gsum = jnp.asarray(cot[0], jnp.float32)
+    dtheta, dv, dphi = _bwd_pallas(theta, v, phi, x, eta, gsum,
+                                   log_transform, interpret)
+    return dtheta, dv, dphi, None, None
 
 
-def _sum_forward(theta, v, phi, x, eta, lgx, min_val, log_transform,
-                 interpret):
-    S, B, K = theta.shape
-    D = x.shape[-1]
-    grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
-    return pl.pallas_call(
-        functools.partial(_sum_kernel, B=B, D=D, S=S,
-                          log_transform=log_transform),
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _data_specs(S, K),
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((S,), jnp.float32),
-        interpret=interpret,
-        cost_estimate=_cost(S, B, K, D),
-    )(min_val, theta, v, phi, x, eta, lgx)
+_fused_stats.defvjp(_stats_fwd, _stats_bwd)
 
 
-def _sum_fwd(theta, v, phi, x, eta, lgx, min_val, log_transform, interpret):
-    out = _sum_forward(theta, v, phi, x, eta, lgx, min_val, log_transform,
-                       interpret)
-    return out, (theta, v, phi, x, eta, lgx, min_val)
-
-
-def _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
+def _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
              in_bounds, log_transform):
     """Recompute one (row-tile, col-tile, sample) dtv = d(sum ll)/d(theta@v),
     with drate as the second return (for dphi). Operands must already have
-    their out-of-bounds padding zeroed (NaN leaks through 0*garbage)."""
+    their out-of-bounds padding zeroed (NaN leaks through 0*garbage).
+    The active set uses the static FLOOR: by the clip-decomposition
+    invariant it equals the dynamic {ll > m} set (module docstring)."""
     tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
     if log_transform:
         ev = jnp.exp(tv * eta)
@@ -242,7 +255,8 @@ def _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
     else:
         rate = tv * eta + phi_ref[s]
     ll = x * _safe_log(rate) - rate - lgx
-    active = jnp.isfinite(ll) & (ll > min_ref[0]) & (ll < 0.0) & in_bounds
+    active = (jnp.isfinite(ll) & (ll > jnp.float32(FLOOR)) & (ll < 0.0)
+              & in_bounds)
     rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
     drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g_ref[s]
     if log_transform:
@@ -264,8 +278,8 @@ def _masks(i, j, B, D, K):
     return in_bounds, row_ok, col_ok
 
 
-def _bwd_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
-                eta_ref, lgx_ref, dtheta_p_ref, dv_ref, dphi_ref,
+def _bwd_kernel(g_ref, theta_ref, v_ref, phi_ref, x_ref,
+                eta_ref, dtheta_p_ref, dv_ref, dphi_ref,
                 *, B, D, S, log_transform):
     """All three gradients in ONE tile pass (the tv recompute is the
     expensive part at K=32 — the MXU runs at ~25% utilization, so saving a
@@ -277,12 +291,13 @@ def _bwd_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
     j = pl.program_id(0)
     i = pl.program_id(1)
     K = theta_ref.shape[-1]
-    x, eta, lgx = x_ref[:], eta_ref[:], lgx_ref[:]
+    x, eta = x_ref[:], eta_ref[:]
+    lgx = _lgamma_xp1(x)
     in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
     for s in range(S):
         theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
         v_s = jnp.where(col_ok, v_ref[s], 0.0)
-        dtv, drate = _bwd_dtv(s, min_ref, g_ref, theta_s, v_s, phi_ref, x,
+        dtv, drate = _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x,
                               eta, lgx, in_bounds, log_transform)
         dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
                                      preferred_element_type=jnp.float32)
@@ -300,11 +315,11 @@ def _bwd_kernel(min_ref, g_ref, theta_ref, v_ref, phi_ref, x_ref,
             dphi_ref[s] += dph_s
 
 
-def _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g, log_transform,
-                interpret):
-    """Two blocked kernels (dtheta; dv+dphi) — every output is tiled on its
-    own grid dimension, so nothing of shape (S,B,D) OR a full gradient array
-    ever sits in VMEM; the tv recompute runs twice (cheap MXU) in exchange."""
+def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret):
+    """One blocked kernel computing all three gradients — every output is
+    tiled on its own grid dimension, so nothing of shape (S,B,D) OR a full
+    gradient array ever sits in VMEM; the tv recompute runs once more
+    (cheap MXU) in exchange."""
     S, B, K = theta.shape
     D = x.shape[-1]
     nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
@@ -313,7 +328,6 @@ def _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g, log_transform,
                           log_transform=log_transform),
         grid=(nd, nb),  # rows inner: dv/dphi blocks resident per col tile
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # min_val (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
             pl.BlockSpec((S, TB, K), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -324,8 +338,6 @@ def _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g, log_transform,
             pl.BlockSpec((TB, TD), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TD), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, TD), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -345,22 +357,12 @@ def _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g, log_transform,
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * S * B * K * D,
             bytes_accessed=(nd * S * B * K + S * B * K + 2 * S * K * D
-                            + 2 * B * D) * 4,
+                            + B * D) * 4,
             transcendentals=2 * S * B * D,
         ),
-    )(min_val, g, theta, v, phi, x, eta, lgx)
+    )(g, theta, v, phi, x, eta)
     dtheta = jnp.sum(dtheta_p, axis=0)
     return dtheta[:, :B, :], dv[..., :D], dphi[..., :D]
-
-
-def _sum_bwd(log_transform, interpret, res, g):
-    theta, v, phi, x, eta, lgx, min_val = res
-    g = jnp.asarray(g, jnp.float32)
-    return _bwd_pallas(theta, v, phi, x, eta, lgx, min_val, g,
-                       log_transform, interpret) + (None, None, None, None)
-
-
-_loglik_given_min.defvjp(_sum_fwd, _sum_bwd)
 
 
 def _prep(theta, v, phi, x, eta):
@@ -383,24 +385,23 @@ def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
     ``fused_poisson_loglik_sharded``.
     """
     theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
-    lgx = gammaln(x + 1.0)  # once per step; shared by all kernel passes
-    # the min kernel has no autodiff rule and the clip bound is a constant
-    # to the backward anyway — detach its inputs, not just its output
+    ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, log_transform,
+                                   interpret)
+    # the clip bound is a constant to the backward (module docstring); the
+    # counts are piecewise constant — the scalar combine carries no gradient
     sg = jax.lax.stop_gradient
-    raw_min = _fused_min(sg(theta), sg(v), sg(phi), x, eta, lgx,
-                         log_transform, interpret)
-    min_val = _floor_min_val(raw_min - 10.0)
-    return _loglik_given_min(theta, v, phi, x, eta, lgx, min_val,
-                             log_transform, interpret)
+    m = _floor_min_val(sg(gmin) - 10.0)
+    return ssum + sg(cnt).astype(jnp.float32) * m[0]
 
 
 def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
                                  log_transform=False, interpret=False,
                                  data_axis="dp", feature_axis="fp"):
-    """Mesh-composed fused likelihood: per-shard Pallas min, ``lax.pmin``
-    across the mesh, per-shard Pallas clipped sums, ``lax.psum`` — the exact
-    global-clip semantics of the single-device kernel, scaled over dp x fp
-    (VERDICT r1 #2; reference data-dependent clip: poisson.py:606-619).
+    """Mesh-composed fused likelihood: ONE per-shard Pallas stats pass,
+    then ``lax.pmin``/``lax.psum`` on the three scalar outputs and a scalar
+    combine — the exact global-clip semantics of the single-device kernel,
+    scaled over dp x fp (VERDICT r1 #2; reference data-dependent clip:
+    poisson.py:606-619).
 
     Rows of theta/x shard over ``data_axis``; feature columns of
     v/phi/x/eta over ``feature_axis`` (either axis may be absent). The
@@ -419,15 +420,15 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
                                     interpret)
 
     def body(theta, v, phi, x, eta):
-        lgx = gammaln(x + 1.0)  # once per shard per step
+        ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta,
+                                       log_transform, interpret)
         sg = jax.lax.stop_gradient
-        local_min = _fused_min(sg(theta), sg(v), sg(phi), x, eta, lgx,
-                               log_transform, interpret)
-        gmin = jax.lax.pmin(local_min, axes)
-        min_val = _floor_min_val(gmin - 10.0)
-        out = _loglik_given_min(theta, v, phi, x, eta, lgx, min_val,
-                                log_transform, interpret)
-        return jax.lax.psum(out, axes)
+        gmin = jax.lax.pmin(sg(gmin), axes)
+        cnt = jax.lax.psum(sg(cnt), axes)
+        m = _floor_min_val(gmin - 10.0)
+        # psum of the differentiable sums: the backward broadcasts the
+        # replicated cotangent back to every shard's stats kernel
+        return jax.lax.psum(ssum, axes) + cnt.astype(jnp.float32) * m[0]
 
     return jax.shard_map(
         body,
@@ -442,6 +443,58 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
         out_specs=P(),
         check_vma=False,
     )(theta, v, phi, x, eta)
+
+
+# --------------------------------------------------------------------------
+# Per-ROW log-likelihood sums (for WAIC): same decode+ll tile math, reduced
+# over features only, no clipping (matching log_likelihood_components ->
+# sum(axis=-1), reference poisson.py:156-184). Evaluation-only (no VJP):
+# WAIC streams over posterior samples, it never differentiates.
+
+
+def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, out_ref,
+                   *, B, D, S, log_transform):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x = x_ref[:]
+    eta = eta_ref[:]
+    lgx = _lgamma_xp1(x)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
+    col_ok = col_ids < D  # out-of-bounds rows are sliced off outside
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for s in range(S):
+        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
+        out_ref[s] = out_ref[s] + jnp.sum(
+            jnp.where(col_ok, ll, 0.0), axis=-1
+        )
+
+
+def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
+                             interpret=False):
+    """Per-row raw log-likelihood sums, shape (S, B) f32 — the WAIC
+    pointwise unit — computed tile-by-tile without materializing (S,B,D).
+    Keep S small (<= ~16): theta/v blocks carry the full sample dim in
+    VMEM; stream larger posterior-sample counts in chunks (vi/waic.py)."""
+    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
+    S, B, K = theta.shape
+    D = x.shape[-1]
+    grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))  # cols inner: out stays resident
+    out = pl.pallas_call(
+        functools.partial(_row_ll_kernel, B=B, D=D, S=S,
+                          log_transform=log_transform),
+        grid=grid,
+        in_specs=_data_specs(S, K),
+        out_specs=pl.BlockSpec((S, TB), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, grid[0] * TB), jnp.float32),
+        interpret=interpret,
+        cost_estimate=_cost(S, B, K, D),
+    )(theta, v, phi, x, eta)
+    return out[:, :B]
 
 
 # --------------------------------------------------------------------------

@@ -190,11 +190,24 @@ class SurrogatePosterior:
     """
 
     def __init__(self, surrogates: Dict[str, TransformedSurrogate],
-                 gamma_sampler: str = "exact", broadcast_names=()):
+                 gamma_sampler: str = "exact", broadcast_names=(),
+                 mesh=None, feature_axes=None, feature_axis="fp"):
         #: 'exact' = jax.random.gamma (implicit reparam; slow backward on
         #: TPU) | 'fast' = boosted Wilson–Hilferty pathwise sampler
         #: (spmf_tpu.ops.gamma)
         self.gamma_sampler = gamma_sampler
+        #: device mesh + per-variable feature-axis map: lets the fused IG
+        #: sampler run per-shard under ``shard_map`` when the feature dim is
+        #: sharded (see _sample_igs_fused_sharded). ``feature_axes[name]``
+        #: is the axis of ``surrogates[name].shape`` carrying the feature
+        #: dim (None = replicated).
+        self.mesh = mesh
+        self.feature_axes = dict(feature_axes or {})
+        self.feature_axis = feature_axis
+        #: test hook: alternative (a_flat, b_flat, seed, S) -> (y, logq)
+        #: implementation (the pure-JAX ig_sample_logq_reference lets the
+        #: sharded assembly run on the virtual CPU mesh)
+        self._ig_impl = None
         #: variables sampled ONCE per step and shared across the S ELBO
         #: samples (values broadcast; log q counted identically in every
         #: sample). Marginally each (main_i, aux_1) pair is a draw from the
@@ -314,10 +327,12 @@ class SurrogatePosterior:
             logq = logq + lp
         return values, logq
 
-    def _fused_igs_ok(self, names, sample_shape):
-        """The fused Pallas IG sampler handles the standard case: softplus
-        bijectors, f32, a 0/1-dim sample shape, and a TPU backend (the
-        kernel's hardware RNG has no CPU/interpret lowering)."""
+    def _fp_size(self):
+        if self.mesh is None or self.feature_axis not in self.mesh.axis_names:
+            return 1
+        return int(self.mesh.shape[self.feature_axis])
+
+    def _fused_igs_common_ok(self, names, sample_shape):
         if self.gamma_sampler != "fused":
             return False
         if len(sample_shape) > 1 or self.dtype != jnp.float32:
@@ -325,14 +340,114 @@ class SurrogatePosterior:
         if any(not isinstance(self.surrogates[n].bijector, tfb.Softplus)
                for n in names):
             return False
-        return jax.default_backend() == "tpu"
+        return self._ig_impl is not None or jax.default_backend() == "tpu"
+
+    def _fused_igs_ok(self, names, sample_shape):
+        """The fused Pallas IG sampler handles the standard case: softplus
+        bijectors, f32, a 0/1-dim sample shape, and a TPU backend (the
+        kernel's hardware RNG has no CPU/interpret lowering). With a
+        feature-sharded mesh the flat concat would all-gather fp shards —
+        that case goes through _sample_igs_fused_sharded instead."""
+        return (self._fp_size() == 1
+                and self._fused_igs_common_ok(names, sample_shape))
+
+    def _fused_igs_sharded_ok(self, names, sample_shape):
+        """Mesh-composed variant: every feature-sharded variable's feature
+        dim must split evenly over the fp axis (replicated variables are
+        fine — they take the plain kernel, which runs replicated)."""
+        if self._fp_size() <= 1:
+            return False
+        if not self._fused_igs_common_ok(names, sample_shape):
+            return False
+        nsh = self._fp_size()
+        for n in names:
+            ax = self.feature_axes.get(n)
+            if ax is None:
+                continue
+            dim = self.surrogates[n].shape[ax]
+            if dim > 1 and dim % nsh:
+                return False
+        return True
+
+    def _ig_kernel(self, a_flat, b_flat, seed, S):
+        if self._ig_impl is not None:
+            return self._ig_impl(a_flat, b_flat, seed, S)
+        from spmf_tpu.ops.fused_ig import fused_ig_sample_logq
+
+        return fused_ig_sample_logq(a_flat, b_flat, seed, S)
+
+    def _sample_igs_fused_sharded(self, names, params, key, sample_shape):
+        """Fused IG sampling composed with a feature-sharded mesh: the
+        kernel runs per-shard inside ``jax.shard_map`` on the locally-owned
+        slices of the fp-sharded variables (per-shard seeds via
+        ``axis_index``), with a ``psum`` of the per-sample logq partials;
+        replicated variables go through the plain kernel outside
+        (VERDICT r1 weak #1 follow-through / docs/ROADMAP.md item 5)."""
+        from jax.sharding import PartitionSpec as P
+
+        fp = self.feature_axis
+        nsh = self._fp_size()
+        S = sample_shape[0] if sample_shape else 1
+
+        sharded = [
+            n for n in names
+            if self.feature_axes.get(n) is not None
+            and self.surrogates[n].shape[self.feature_axes[n]] > 1
+        ]
+        repl = [n for n in names if n not in sharded]
+
+        values, logq = {}, 0.0
+        if repl:
+            v, lq = self._sample_igs_fused(repl, params, key, sample_shape)
+            values.update(v)
+            logq = logq + lq
+        if not sharded:
+            return values, logq
+
+        seed = jax.random.randint(jax.random.fold_in(key, 1), (), 0,
+                                  2**31 - 1, jnp.int32)
+        local_shapes, in_specs, out_specs, args = [], [P()], [], [seed]
+        for n in sharded:
+            ax = self.feature_axes[n]
+            shape = self.surrogates[n].shape
+            local_shapes.append(tuple(
+                d // nsh if i == ax else d for i, d in enumerate(shape)
+            ))
+            spec = P(*[fp if i == ax else None for i in range(len(shape))])
+            in_specs += [spec, spec]
+            out_specs.append(P(*((None,) + tuple(spec))))
+            args += [
+                _softplus.forward(params[n]["raw_concentration"]),
+                _softplus.forward(params[n]["raw_scale"]),
+            ]
+        out_specs.append(P())
+
+        kernel = self._ig_kernel
+
+        def body(seed, *ab):
+            sd = seed + jax.lax.axis_index(fp).astype(jnp.int32)
+            a_flat = jnp.concatenate([a.reshape(-1) for a in ab[0::2]])
+            b_flat = jnp.concatenate([b.reshape(-1) for b in ab[1::2]])
+            y, lq = kernel(a_flat, b_flat, sd, S)
+            outs, off = [], 0
+            for ls in local_shapes:
+                sz = int(np.prod(ls))
+                outs.append(y[:, off:off + sz].reshape((S,) + ls))
+                off += sz
+            return tuple(outs) + (jax.lax.psum(lq, fp),)
+
+        out = jax.shard_map(body, mesh=self.mesh, in_specs=tuple(in_specs),
+                            out_specs=tuple(out_specs),
+                            check_vma=False)(*args)
+        lq = out[-1]
+        for n, block in zip(sharded, out[:-1]):
+            values[n] = block if sample_shape else block[0]
+        return values, logq + (lq if sample_shape else lq[0])
 
     def _sample_igs_fused(self, names, params, key, sample_shape):
         """One Pallas kernel for the whole IG block: in-kernel RNG ->
         boosted-WH gamma -> IG transform -> softplus bijector -> logq
         partial sums (spmf_tpu.ops.fused_ig; VERDICT r1 #1)."""
-        from spmf_tpu.ops.fused_ig import fused_ig_sample_logq
-
         a_flat = jnp.concatenate([
             _softplus.forward(params[n]["raw_concentration"]).reshape(-1)
             for n in names
@@ -343,7 +458,7 @@ class SurrogatePosterior:
         ])
         S = sample_shape[0] if sample_shape else 1
         seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
-        y, logq = fused_ig_sample_logq(a_flat, b_flat, seed, S)
+        y, logq = self._ig_kernel(a_flat, b_flat, seed, S)
         values = {}
         off = 0
         for n in names:
@@ -361,6 +476,9 @@ class SurrogatePosterior:
     def _sample_igs(self, names, params, key, sample_shape):
         from spmf_tpu.ops.gamma import sample_gamma
 
+        if self._fused_igs_sharded_ok(names, sample_shape):
+            return self._sample_igs_fused_sharded(names, params, key,
+                                                  sample_shape)
         if self._fused_igs_ok(names, sample_shape):
             return self._sample_igs_fused(names, params, key, sample_shape)
 

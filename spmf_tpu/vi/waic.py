@@ -7,6 +7,13 @@ fixed by the recorded notebook output (SURVEY.md §6):
 over per-row log-likelihoods; ``se = sqrt(N * var_i(waic_i))``.
 (Check vs reference values: -2*(-37090.95 - 135483.30) = 345148.50 ✓,
 notebooks/factorizing_random_noise.ipynb cell 9.)
+
+Posterior samples are drawn in CHUNKS (default 10) and reduced with
+streaming moments, so WAIC at production scale (D=20k, 100 samples) never
+holds more than one (chunk, B)-shaped ll block — composing with the fused
+per-row Pallas kernel (ops/fused_poisson.fused_poisson_row_loglik), which
+itself never materializes (S, B, D). With ``sample_chunk=num_samples`` the
+single-chunk path is bit-identical to the original unchunked evaluation.
 """
 from __future__ import annotations
 
@@ -17,7 +24,29 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import logsumexp
 
-__all__ = ["waic"]
+__all__ = ["waic", "streaming_waic_terms"]
+
+
+def streaming_waic_terms(ll_chunks) -> tuple:
+    """Exact (lppd_i, pwaic_i) from an iterable of (S_c, B) per-row
+    log-likelihood blocks over the SAME rows: accumulates the running
+    log-sum-exp, sum, and sum-of-squares (float64), so the result equals
+    the one-shot formulas on the concatenated (S, B) matrix."""
+    lse = None
+    s1 = s2 = 0.0
+    n = 0
+    for ll in ll_chunks:
+        ll = np.asarray(ll, np.float64)
+        c = logsumexp(ll, axis=0)  # numpy via jax.scipy on host arrays
+        c = np.asarray(c, np.float64)
+        lse = c if lse is None else np.logaddexp(lse, c)
+        s1 = s1 + ll.sum(axis=0)
+        s2 = s2 + (ll * ll).sum(axis=0)
+        n += ll.shape[0]
+    lppd_i = lse - np.log(float(n))
+    mean = s1 / n
+    pwaic_i = (s2 - n * mean * mean) / (n - 1)  # ddof=1
+    return lppd_i, pwaic_i
 
 
 def waic(
@@ -28,23 +57,39 @@ def waic(
     num_samples: int = 100,
     seed: int = 1,
     dtype=jnp.float64,
+    sample_chunk: int = 10,
 ) -> dict:
-    @jax.jit
-    def batch_terms(key, batch):
-        samples = surrogate.sample(params, key, (num_samples,))
-        ll = row_log_likelihood_fn(batch, samples)  # (S, B)
-        lppd_i = logsumexp(ll, axis=0) - jnp.log(jnp.asarray(float(num_samples), ll.dtype))
-        pwaic_i = jnp.var(ll, axis=0, ddof=1)
-        return lppd_i, pwaic_i
+    sample_chunk = min(sample_chunk, num_samples)
+    n_chunks = num_samples // sample_chunk
+    residual = num_samples - n_chunks * sample_chunk
+
+    def make_fn(s):
+        @jax.jit
+        def batch_ll(key, batch):
+            samples = surrogate.sample(params, key, (s,))
+            return row_log_likelihood_fn(batch, samples)  # (s, B)
+
+        return batch_ll
+
+    batch_ll = make_fn(sample_chunk)
+    batch_ll_res = make_fn(residual) if residual else None
 
     key = jax.random.PRNGKey(seed)
     lppd_all, pwaic_all = [], []
     for batch in batched_data_factory():
         key, k = jax.random.split(key)
         batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-        lppd_i, pwaic_i = batch_terms(k, batch)
-        lppd_all.append(np.asarray(lppd_i, np.float64))
-        pwaic_all.append(np.asarray(pwaic_i, np.float64))
+        chunk_keys = jax.random.split(k, n_chunks + (1 if residual else 0))
+
+        def chunks():
+            for c in range(n_chunks):
+                yield batch_ll(chunk_keys[c], batch)
+            if residual:
+                yield batch_ll_res(chunk_keys[-1], batch)
+
+        lppd_i, pwaic_i = streaming_waic_terms(chunks())
+        lppd_all.append(lppd_i)
+        pwaic_all.append(pwaic_i)
 
     lppd_i = np.concatenate(lppd_all)
     pwaic_i = np.concatenate(pwaic_all)

@@ -142,3 +142,35 @@ def test_fused_exp_rate_sum_matches_direct():
     for a, b, n in zip(g1, g2, "tv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6, err_msg=n)
+
+
+@pytest.mark.parametrize("log_transform", [False, True])
+def test_fused_row_loglik_matches_xla(log_transform):
+    """Per-row WAIC kernel: raw (unclipped) feature-summed ll must match
+    the XLA computation (reference poisson.py:156-184 -> sum(axis=-1))."""
+    from jax.scipy.special import gammaln
+
+    from spmf_tpu.ops import fused_poisson_row_loglik
+
+    theta, v, phi, x, eta = _inputs(log_transform)
+    tv = jnp.matmul(theta, v)
+    rate = (jnp.exp(tv * eta) - 1.0 + phi) if log_transform else tv * eta + phi
+    ll = x * jnp.log(rate) - rate - gammaln(x + 1.0)
+    ref = jnp.sum(ll, axis=-1)  # (S, B)
+    out = fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5)
+
+
+def test_streaming_waic_terms_exact():
+    """Chunked accumulation == one-shot formulas on the concatenated ll."""
+    from scipy.special import logsumexp as sp_lse
+
+    from spmf_tpu.vi.waic import streaming_waic_terms
+
+    lls = RNG.normal(-3.0, 2.0, size=(23, 17))
+    lppd_i, pwaic_i = streaming_waic_terms(
+        [lls[:10], lls[10:20], lls[20:]]
+    )
+    np.testing.assert_allclose(lppd_i, sp_lse(lls, axis=0) - np.log(23.0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(pwaic_i, lls.var(axis=0, ddof=1), rtol=1e-10)

@@ -227,3 +227,89 @@ def test_fused_fit_runs_on_mesh():
                    learning_rate=0.05, sample_size=S, seed=7, verbose=False,
                    rel_tol=None)
     assert np.isfinite(losses).all()
+
+
+def _fused_ig_model(mesh):
+    m = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float32",
+        scale_columns=False, mesh=mesh, gamma_sampler="fused",
+        fused_likelihood=False,
+    )
+    return m
+
+
+def test_fused_ig_sampler_sharded_assembly_exact():
+    """docs/ROADMAP.md item 5: the fused IG sampler composes with an fp
+    mesh via shard_map. With a seed-independent deterministic kernel impl,
+    the per-shard concat/split/psum assembly must reproduce the unsharded
+    computation EXACTLY (validates specs, local shapes, and the logq
+    reduction; the kernel math itself is TPU-validated in
+    benchmarks/validate_fused_ig_tpu.py)."""
+    mesh = make_mesh((2, 4), ("dp", "fp"))
+    m = _fused_ig_model(mesh)
+    sur = m._surrogate
+    assert sur._fp_size() == 4
+
+    def det_impl(a_flat, b_flat, seed, S_):
+        y = jnp.broadcast_to(2.0 * a_flat + b_flat, (S_,) + a_flat.shape)
+        return y, jnp.full((S_,), jnp.sum(a_flat * b_flat))
+
+    sur._ig_impl = det_impl
+    names = sur._ig_names
+    assert sur._fused_igs_sharded_ok(names, (S,))
+    key = jax.random.PRNGKey(0)
+    values, logq = jax.jit(
+        lambda p: sur._sample_igs(names, p, key, (S,))
+    )(m.surrogate_params)
+
+    from spmf_tpu.bijectors import Softplus
+
+    sp = Softplus()
+    exp_logq = 0.0
+    for n in names:
+        a = sp.forward(m.surrogate_params[n]["raw_concentration"])
+        b = sp.forward(m.surrogate_params[n]["raw_scale"])
+        np.testing.assert_allclose(
+            np.asarray(values[n]),
+            np.broadcast_to(np.asarray(2.0 * a + b), (S,) + a.shape),
+            rtol=1e-6, err_msg=n,
+        )
+        exp_logq = exp_logq + float(jnp.sum(a * b))
+    np.testing.assert_allclose(np.asarray(logq), exp_logq, rtol=1e-5)
+
+
+def test_fused_ig_sampler_sharded_logq_identity_and_grads():
+    """With the pure-JAX reference kernel (threefry RNG), the sharded
+    sampler's summed logq must equal the per-variable surrogate log_prob
+    of the values it returns, and gradients must flow to every IG param."""
+    from spmf_tpu.ops.fused_ig import ig_sample_logq_reference
+
+    mesh = make_mesh((2, 4), ("dp", "fp"))
+    m = _fused_ig_model(mesh)
+    sur = m._surrogate
+    sur._ig_impl = lambda a, b, seed, S_: ig_sample_logq_reference(
+        a, b, jax.random.PRNGKey(seed), S_
+    )
+    names = sur._ig_names
+    key = jax.random.PRNGKey(3)
+
+    def sample_logq(p):
+        values, logq = sur._sample_igs(names, p, key, (S,))
+        return values, logq
+
+    values, logq = jax.jit(sample_logq)(m.surrogate_params)
+    manual = 0.0
+    for n in names:
+        manual = manual + sur.surrogates[n].log_prob(
+            m.surrogate_params[n], values[n]
+        )
+    np.testing.assert_allclose(np.asarray(logq), np.asarray(manual),
+                               rtol=1e-4)
+
+    g = jax.jit(jax.grad(lambda p: jnp.sum(sample_logq(p)[1])))(
+        m.surrogate_params
+    )
+    for n in names:
+        for leaf, arr in g[n].items():
+            assert np.isfinite(np.asarray(arr)).all(), f"{n}.{leaf}"
+            assert np.abs(np.asarray(arr)).max() > 0, f"{n}.{leaf}"
