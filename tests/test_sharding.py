@@ -313,3 +313,32 @@ def test_fused_ig_sampler_sharded_logq_identity_and_grads():
         for leaf, arr in g[n].items():
             assert np.isfinite(np.asarray(arr)).all(), f"{n}.{leaf}"
             assert np.abs(np.asarray(arr)).max() > 0, f"{n}.{leaf}"
+
+
+def test_fused_ig_sampler_plain_under_dp_mesh():
+    """dp-only meshes keep the PLAIN fused IG path (params replicated, the
+    kernel runs replicated under jit); end-to-end fit must work and match
+    the unsharded fit exactly (same threefry reference impl, same seed)."""
+    from spmf_tpu.ops.fused_ig import ig_sample_logq_reference
+
+    impl = lambda a, b, seed, S_: ig_sample_logq_reference(  # noqa: E731
+        a, b, jax.random.PRNGKey(seed), S_
+    )
+
+    def run(mesh):
+        m = PoissonFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float32",
+            scale_columns=False, mesh=mesh, gamma_sampler="fused",
+            fused_likelihood=False,
+        )
+        m._surrogate._ig_impl = impl
+        if mesh is None:
+            assert m._surrogate._fused_igs_ok(m._surrogate._ig_names, (S,))
+        data = {"counts": X.astype(np.float32), "indices": np.arange(B)}
+        return m.fit(batched_data_factory=data, num_steps=2,
+                     learning_rate=0.05, sample_size=S, seed=11,
+                     verbose=False, rel_tol=None)
+
+    ref = run(None)
+    out = run(data_parallel_mesh(8))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
