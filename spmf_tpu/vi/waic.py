@@ -22,7 +22,6 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import logsumexp
 
 __all__ = ["waic", "streaming_waic_terms"]
 
@@ -32,13 +31,14 @@ def streaming_waic_terms(ll_chunks) -> tuple:
     log-likelihood blocks over the SAME rows: accumulates the running
     log-sum-exp, sum, and sum-of-squares (float64), so the result equals
     the one-shot formulas on the concatenated (S, B) matrix."""
+    from scipy.special import logsumexp as _host_lse
+
     lse = None
     s1 = s2 = 0.0
     n = 0
     for ll in ll_chunks:
         ll = np.asarray(ll, np.float64)
-        c = logsumexp(ll, axis=0)  # numpy via jax.scipy on host arrays
-        c = np.asarray(c, np.float64)
+        c = _host_lse(ll, axis=0)  # host-side: no device round-trips
         lse = c if lse is None else np.logaddexp(lse, c)
         s1 = s1 + ll.sum(axis=0)
         s2 = s2 + (ll * ll).sum(axis=0)
