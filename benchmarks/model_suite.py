@@ -32,7 +32,7 @@ S, B, D, P = 8, 1024, 20000, 32
 ITERS = 25
 
 
-def time_step(model, X, iters=ITERS):
+def make_step(model):
     sur = model._surrogate
     opt = optax.chain(optax.clip(5.0), optax.adam(0.01))
 
@@ -47,17 +47,7 @@ def time_step(model, X, iters=ITERS):
         u, o2 = opt.update(g, o, p)
         return optax.apply_updates(p, u), o2, loss
 
-    o = opt.init(model.surrogate_params)
-    k = jax.random.PRNGKey(0)
-    p, o2, l = step(model.surrogate_params, o, k, X)
-    jax.block_until_ready(p)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        p, o2, l = step(p, o2, jax.random.fold_in(k, i), X)
-    jax.block_until_ready(p)
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(float(l)), float(l)
-    return B / dt, dt * 1000
+    return step, opt.init(model.surrogate_params)
 
 
 def main():
@@ -67,7 +57,7 @@ def main():
     kw = dict(latent_dim=P, feature_dim=D,
               u_tau_scale=1.0 / np.sqrt(50000 * D), dtype="float32",
               scale_columns=False)
-    out = {}
+    states = []
     for name, model, X in (
         ("poisson", PoissonFactorization(**kw), Xp),
         ("bernoulli", BernoulliFactorization(**kw), Xb),
@@ -78,9 +68,38 @@ def main():
             column_types=["poisson"] * (D // 2) + ["bernoulli"] * (D - D // 2),
             **kw), Xp),
     ):
-        rows, ms = time_step(model, X)
-        out[name] = {"rows_per_sec": round(rows, 1), "ms_per_step": round(ms, 2)}
-        print(f"{name:>20s}: {ms:7.1f} ms/step {rows:9.0f} rows/sec", flush=True)
+        step, o = make_step(model)
+        states.append(dict(name=name, step=step, X=X,
+                           p=model.surrogate_params, o=o, times=[]))
+
+    # interleaved rounds (the tunnel has a first-config warmup bias AND
+    # ambient drift — same methodology as benchmarks/step_ablation.py)
+    k = jax.random.PRNGKey(0)
+    per_round, rounds = max(ITERS // 5, 3), 5
+    for st in states:  # compile + warmup round
+        for i in range(per_round):
+            st["p"], st["o"], st["l"] = st["step"](
+                st["p"], st["o"], jax.random.fold_in(k, i), st["X"])
+        jax.block_until_ready(st["p"])
+    for r in range(rounds):
+        for st in states:
+            t0 = time.perf_counter()
+            for i in range(per_round):
+                st["p"], st["o"], st["l"] = st["step"](
+                    st["p"], st["o"], jax.random.fold_in(k, r * 97 + i),
+                    st["X"])
+            jax.block_until_ready(st["p"])
+            st["times"].append((time.perf_counter() - t0) / per_round)
+
+    out = {}
+    for st in states:
+        assert np.isfinite(float(st["l"])), (st["name"], float(st["l"]))
+        dt = float(np.median(st["times"]))
+        rows, ms = B / dt, dt * 1000
+        out[st["name"]] = {"rows_per_sec": round(rows, 1),
+                           "ms_per_step": round(ms, 2)}
+        print(f"{st['name']:>20s}: {ms:7.1f} ms/step {rows:9.0f} rows/sec",
+              flush=True)
 
     path = os.path.join(os.path.dirname(__file__), "..", "docs",
                         "model_bench.json")

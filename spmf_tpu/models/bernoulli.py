@@ -79,6 +79,11 @@ class BernoulliFactorization(PoissonFactorization):
             ),
         }
 
+    def _fused_kind(self):
+        # the fused Pallas kernels implement the Bernoulli(logits)
+        # likelihood natively (spmf_tpu.ops.fused_poisson 'bernoulli')
+        return "bernoulli"
+
     def _observation_distribution(self, rate):
         """rate plays the role of logits (reference bernoulli.py:148)."""
         return tfd.Bernoulli(logits=rate)

@@ -69,6 +69,16 @@ class GaussianFactorization(PoissonFactorization):
         )
         return rv.log_prob(theta)
 
+    def _fused_kind(self):
+        # poisson-obs (the faithful reference mode, gaussian.py:195) shares
+        # the Poisson kernel; the net-new normal-obs mode gets the
+        # ('normal', obs_scale) kernel branch
+        if self.observation_model == "poisson":
+            return "poisson"
+        if self.observation_model == "normal":
+            return ("normal", float(self.obs_scale))
+        return None
+
     def _observation_distribution(self, rate):
         if self.observation_model == "normal":
             return tfd.Normal(loc=rate, scale=jnp.asarray(self.obs_scale, self.dtype))

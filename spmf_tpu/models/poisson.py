@@ -43,6 +43,14 @@ class PoissonFactorization(BayesianModel):
 
     s_tau_scale = 1.0
 
+    def _fused_kind(self):
+        """Which fused-kernel likelihood (spmf_tpu.ops.fused_poisson
+        ``likelihood`` flag) this model's observation distribution
+        corresponds to, or None. A class overriding
+        ``_observation_distribution`` MUST also override this (the pairing
+        is enforced structurally in _can_fuse via the defining classes)."""
+        return "poisson"
+
     def encoder_function(self, x):
         """g(x) (reference poisson.py:34-43)."""
         x = jnp.asarray(x, self.dtype)
@@ -561,11 +569,13 @@ class PoissonFactorization(BayesianModel):
                 self.log_transform,
                 self._fused_interpret,
             )
+            kind = self._fused_kind()
             if self.mesh is None:
-                out = fused_poisson_loglik(*args)
+                out = fused_poisson_loglik(*args, likelihood=kind)
             else:
                 out = fused_poisson_loglik_sharded(*args[:5], self.mesh,
-                                                   *args[5:])
+                                                   *args[5:],
+                                                   likelihood=kind)
             out = out.astype(self.dtype)
             prior_parts["x"] = out[0] if squeeze else out
             return prior_parts
@@ -678,10 +688,22 @@ class PoissonFactorization(BayesianModel):
             for dim, ax in zip(batch_shape[-2:], ("dp", "fp")):
                 if ax in self.mesh.axis_names and dim % self.mesh.shape[ax]:
                     return False
+        def _defining_class(name):
+            for c in type(self).__mro__:
+                if name in c.__dict__:
+                    return c
+            return None
+
         return (
             self.fused_likelihood
-            and type(self)._observation_distribution
-            is PoissonFactorization._observation_distribution
+            and self._fused_kind() is not None
+            # the likelihood math is baked into the kernel per kind: a
+            # subclass overriding _observation_distribution without taking
+            # responsibility for the kind (overriding _fused_kind in the
+            # same class) silently loses fusion instead of computing a
+            # wrong likelihood
+            and _defining_class("_observation_distribution")
+            is _defining_class("_fused_kind")
             and type(self).log_likelihood_components
             is PoissonFactorization.log_likelihood_components
             # the decode link is baked into the kernel, so both instance- and
@@ -723,6 +745,7 @@ class PoissonFactorization(BayesianModel):
                 self.eta_i,
                 self.log_transform,
                 self._fused_interpret,
+                likelihood=self._fused_kind(),
             ).astype(self.dtype)
             return out[0] if squeeze else out
         ll = self.log_likelihood_components(data=batch, **samples)["log_likelihood"]
@@ -741,3 +764,4 @@ class PoissonFactorization(BayesianModel):
             "horseshoe_plus": bool(self.horseshoe_plus),
             "count_key": self.count_key,
         }
+

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
@@ -63,8 +64,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "bernoulli_loglik_reference",
+    "normal_loglik_reference",
+    "fused_exp_rate_sum",
     "fused_poisson_loglik",
     "fused_poisson_loglik_sharded",
+    "fused_poisson_row_loglik",
     "poisson_loglik_reference",
 ]
 
@@ -128,17 +133,61 @@ def poisson_loglik_reference(theta, v, phi, x, eta, log_transform=False):
     return jnp.sum(ll, axis=(-1, -2))
 
 
-def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform):
+def _softplus_f32(x):
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def normal_loglik_reference(theta, v, phi, x, eta, obs_scale=1.0,
+                            log_transform=False):
+    """Pure-XLA Normal(loc=rate, scale=obs_scale) counterpart (the net-new
+    true-Gaussian observation decoder, SURVEY.md §2.4 rebuild decision) in
+    the poisson.py:606-619 clip/sum frame."""
+    rate = _decode_rate(jnp.matmul(theta, v), eta, phi, log_transform)
+    r = (x - rate) / obs_scale
+    ll = -0.5 * r * r - (np.log(obs_scale) + 0.9189385332046727)
+    finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
+    min_val = _floor_min_val(jnp.min(finite) - 10.0)
+    ll = jnp.clip(ll, min_val, 0.0)
+    ll = jnp.where(jnp.isfinite(ll), ll, min_val)
+    return jnp.sum(ll, axis=(-1, -2))
+
+
+def bernoulli_loglik_reference(theta, v, phi, x, eta, log_transform=False):
+    """Pure-XLA Bernoulli(logits=rate) counterpart of
+    ``poisson_loglik_reference`` (reference bernoulli.py:148 likelihood in
+    the poisson.py:606-619 clip/sum frame)."""
+    logits = _decode_rate(jnp.matmul(theta, v), eta, phi, log_transform)
+    ll = x * logits - _softplus_f32(logits)
+    finite = jnp.where(jnp.isfinite(ll), ll, jnp.zeros_like(ll))
+    min_val = _floor_min_val(jnp.min(finite) - 10.0)
+    ll = jnp.clip(ll, min_val, 0.0)
+    ll = jnp.where(jnp.isfinite(ll), ll, min_val)
+    return jnp.sum(ll, axis=(-1, -2))
+
+
+def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform,
+             likelihood="poisson"):
     tv = jnp.dot(theta_ref[s], v_ref[s], preferred_element_type=jnp.float32)
     if log_transform:
         rate = jnp.exp(tv * eta) - 1.0 + phi_ref[s]
     else:
         rate = tv * eta + phi_ref[s]
+    if likelihood == "bernoulli":
+        # rate plays the role of logits (reference bernoulli.py:148):
+        # ll = x*logits - softplus(logits), logit-space stable
+        return x * rate - _softplus_f32(rate)
+    if isinstance(likelihood, tuple):  # ("normal", obs_scale)
+        inv = 1.0 / likelihood[1]
+        r = (x - rate) * inv
+        # log(obs_scale) + 0.5*log(2*pi)
+        c = float(np.log(likelihood[1]) + 0.9189385332046727)
+        return -0.5 * r * r - c
     return x * _safe_log(rate) - rate - lgx
 
 
 def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
-                  sum_ref, cnt_ref, min_ref, *, B, D, S, log_transform):
+                  sum_ref, cnt_ref, min_ref, *, B, D, S, log_transform,
+                  likelihood):
     """Single pass emitting, per ELBO sample: the partial sum of
     ``min(ll, 0)`` over finite ``ll > FLOOR`` entries, the count of
     clipped entries (nonfinite or ``<= FLOOR``), and (shared across
@@ -148,7 +197,7 @@ def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
     j = pl.program_id(1)
     x = x_ref[:]
     eta = eta_ref[:]
-    lgx = _lgamma_xp1(x)
+    lgx = _lgamma_xp1(x) if likelihood == "poisson" else 0.0
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     in_bounds = (row_ids < B) & (col_ids < D)
@@ -161,7 +210,8 @@ def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
             cnt_ref[s] = jnp.int32(0)
 
     for s in range(S):  # static unroll: blocks carry the full sample dim
-        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
+        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s,
+                      log_transform, likelihood)
         finite = jnp.isfinite(ll)
         min_ref[0] = jnp.minimum(
             min_ref[0], jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
@@ -198,24 +248,28 @@ def _cost(S, B, K, D):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_stats(theta, v, phi, x, eta, log_transform, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_stats(theta, v, phi, x, eta, log_transform, interpret,
+                 likelihood="poisson"):
     """(sums (S,) f32, counts (S,) i32, global finite-min (1,) f32) of the
     clip decomposition (module docstring). Inputs must be f32-prepped.
     Backward: gradient of the sums only (the counts are piecewise constant
     and the clip bound is a constant to autodiff by design)."""
-    out, _ = _stats_fwd(theta, v, phi, x, eta, log_transform, interpret)
+    out, _ = _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
+                        likelihood)
     return out
 
 
-def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret):
+def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
+               likelihood="poisson"):
     S, B, K = theta.shape
     D = x.shape[-1]
     grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_stats_kernel, B=B, D=D, S=S,
-                          log_transform=log_transform),
+                          log_transform=log_transform,
+                          likelihood=likelihood),
         grid=grid,
         in_specs=_data_specs(S, K),
         out_specs=(smem, smem, smem),
@@ -230,11 +284,11 @@ def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret):
     return out, (theta, v, phi, x, eta)
 
 
-def _stats_bwd(log_transform, interpret, res, cot):
+def _stats_bwd(log_transform, interpret, likelihood, res, cot):
     theta, v, phi, x, eta = res
     gsum = jnp.asarray(cot[0], jnp.float32)
     dtheta, dv, dphi = _bwd_pallas(theta, v, phi, x, eta, gsum,
-                                   log_transform, interpret)
+                                   log_transform, interpret, likelihood)
     return dtheta, dv, dphi, None, None
 
 
@@ -242,7 +296,7 @@ _fused_stats.defvjp(_stats_fwd, _stats_bwd)
 
 
 def _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
-             in_bounds, log_transform):
+             in_bounds, log_transform, likelihood="poisson"):
     """Recompute one (row-tile, col-tile, sample) dtv = d(sum ll)/d(theta@v),
     with drate as the second return (for dphi). Operands must already have
     their out-of-bounds padding zeroed (NaN leaks through 0*garbage).
@@ -254,11 +308,22 @@ def _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
         rate = ev - 1.0 + phi_ref[s]
     else:
         rate = tv * eta + phi_ref[s]
-    ll = x * _safe_log(rate) - rate - lgx
+    if likelihood == "bernoulli":
+        ll = x * rate - _softplus_f32(rate)
+        dll = x - jax.nn.sigmoid(rate)
+    elif isinstance(likelihood, tuple):  # ("normal", obs_scale)
+        inv = 1.0 / likelihood[1]
+        r = (x - rate) * inv
+        c = float(np.log(likelihood[1]) + 0.9189385332046727)
+        ll = -0.5 * r * r - c
+        dll = r * inv
+    else:
+        ll = x * _safe_log(rate) - rate - lgx
+        rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
+        dll = x / rate_safe - 1.0
     active = (jnp.isfinite(ll) & (ll > jnp.float32(FLOOR)) & (ll < 0.0)
               & in_bounds)
-    rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
-    drate = jnp.where(active, x / rate_safe - 1.0, 0.0) * g_ref[s]
+    drate = jnp.where(active, dll, 0.0) * g_ref[s]
     if log_transform:
         dtv = drate * ev * eta
     else:
@@ -280,7 +345,7 @@ def _masks(i, j, B, D, K):
 
 def _bwd_kernel(g_ref, theta_ref, v_ref, phi_ref, x_ref,
                 eta_ref, dtheta_p_ref, dv_ref, dphi_ref,
-                *, B, D, S, log_transform):
+                *, B, D, S, log_transform, likelihood):
     """All three gradients in ONE tile pass (the tv recompute is the
     expensive part at K=32 — the MXU runs at ~25% utilization, so saving a
     pass is ~25% of the backward). Grid (cols, rows) with rows INNER:
@@ -292,13 +357,14 @@ def _bwd_kernel(g_ref, theta_ref, v_ref, phi_ref, x_ref,
     i = pl.program_id(1)
     K = theta_ref.shape[-1]
     x, eta = x_ref[:], eta_ref[:]
-    lgx = _lgamma_xp1(x)
+    lgx = _lgamma_xp1(x) if likelihood == "poisson" else 0.0
     in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
     for s in range(S):
         theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
         v_s = jnp.where(col_ok, v_ref[s], 0.0)
         dtv, drate = _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x,
-                              eta, lgx, in_bounds, log_transform)
+                              eta, lgx, in_bounds, log_transform,
+                              likelihood)
         dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
                                      preferred_element_type=jnp.float32)
         dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
@@ -315,7 +381,8 @@ def _bwd_kernel(g_ref, theta_ref, v_ref, phi_ref, x_ref,
             dphi_ref[s] += dph_s
 
 
-def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret):
+def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret,
+                likelihood="poisson"):
     """One blocked kernel computing all three gradients — every output is
     tiled on its own grid dimension, so nothing of shape (S,B,D) OR a full
     gradient array ever sits in VMEM; the tv recompute runs once more
@@ -325,7 +392,8 @@ def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret):
     nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
     dtheta_p, dv, dphi = pl.pallas_call(
         functools.partial(_bwd_kernel, B=B, D=D, S=S,
-                          log_transform=log_transform),
+                          log_transform=log_transform,
+                          likelihood=likelihood),
         grid=(nd, nb),  # rows inner: dv/dphi blocks resident per col tile
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
@@ -377,16 +445,18 @@ def _prep(theta, v, phi, x, eta):
 
 
 def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
-                         interpret=False):
-    """Per-sample clipped Poisson log-likelihood sums, shape (S,).
+                         interpret=False, likelihood="poisson"):
+    """Per-sample clipped log-likelihood sums, shape (S,).
 
     Args: theta (S,B,K), v (S,K,D), phi (S,1,D), x (B,D), eta (1,D) or
-    scalar broadcastable. Single-device path; for mesh execution use
+    scalar broadcastable. ``likelihood='poisson'`` (reference
+    poisson.py:177-183) or ``'bernoulli'`` (logits decode, reference
+    bernoulli.py:148). Single-device path; for mesh execution use
     ``fused_poisson_loglik_sharded``.
     """
     theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
     ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, log_transform,
-                                   interpret)
+                                   interpret, likelihood)
     # the clip bound is a constant to the backward (module docstring); the
     # counts are piecewise constant — the scalar combine carries no gradient
     sg = jax.lax.stop_gradient
@@ -396,7 +466,8 @@ def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
 
 def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
                                  log_transform=False, interpret=False,
-                                 data_axis="dp", feature_axis="fp"):
+                                 data_axis="dp", feature_axis="fp",
+                                 likelihood="poisson"):
     """Mesh-composed fused likelihood: ONE per-shard Pallas stats pass,
     then ``lax.pmin``/``lax.psum`` on the three scalar outputs and a scalar
     combine — the exact global-clip semantics of the single-device kernel,
@@ -417,11 +488,11 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     axes = tuple(a for a in (dp, fp) if a is not None)
     if not axes:
         return fused_poisson_loglik(theta, v, phi, x, eta, log_transform,
-                                    interpret)
+                                    interpret, likelihood)
 
     def body(theta, v, phi, x, eta):
         ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta,
-                                       log_transform, interpret)
+                                       log_transform, interpret, likelihood)
         sg = jax.lax.stop_gradient
         gmin = jax.lax.pmin(sg(gmin), axes)
         cnt = jax.lax.psum(sg(cnt), axes)
@@ -453,12 +524,12 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
 
 
 def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, out_ref,
-                   *, B, D, S, log_transform):
+                   *, B, D, S, log_transform, likelihood):
     i = pl.program_id(0)
     j = pl.program_id(1)
     x = x_ref[:]
     eta = eta_ref[:]
-    lgx = _lgamma_xp1(x)
+    lgx = _lgamma_xp1(x) if likelihood == "poisson" else 0.0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     col_ok = col_ids < D  # out-of-bounds rows are sliced off outside
 
@@ -467,14 +538,15 @@ def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     for s in range(S):
-        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform)
+        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s,
+                      log_transform, likelihood)
         out_ref[s] = out_ref[s] + jnp.sum(
             jnp.where(col_ok, ll, 0.0), axis=-1
         )
 
 
 def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
-                             interpret=False):
+                             interpret=False, likelihood="poisson"):
     """Per-row raw log-likelihood sums, shape (S, B) f32 — the WAIC
     pointwise unit — computed tile-by-tile without materializing (S,B,D).
     Keep S small (<= ~16): theta/v blocks carry the full sample dim in
@@ -485,7 +557,8 @@ def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
     grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))  # cols inner: out stays resident
     out = pl.pallas_call(
         functools.partial(_row_ll_kernel, B=B, D=D, S=S,
-                          log_transform=log_transform),
+                          log_transform=log_transform,
+                          likelihood=likelihood),
         grid=grid,
         in_specs=_data_specs(S, K),
         out_specs=pl.BlockSpec((S, TB), lambda i, j: (0, i),

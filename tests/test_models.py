@@ -253,3 +253,94 @@ def test_class_level_decoder_override_disables_fusion():
     m = CustomDecode(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
                      dtype="float64", fused_likelihood=True)
     assert not m._can_fuse()
+
+
+def test_bernoulli_fused_energy_matches_xla():
+    """The Bernoulli model's fused Pallas path (likelihood='bernoulli') must
+    reproduce the XLA energy and gradients (interpret mode on CPU)."""
+    from spmf_tpu import BernoulliFactorization
+
+    B, D, P, S = 24, 12, 3, 2
+    X = np.random.default_rng(3).integers(0, 2, size=(B, D)).astype(np.float64)
+
+    def build(fused):
+        m = BernoulliFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            fused_likelihood=fused,
+        )
+        m._fused_interpret = True
+        return m
+
+    ref = build(False)
+    fused = build(True)
+    assert fused._can_fuse()
+    batch = {"counts": jnp.asarray(X)}
+    key = jax.random.PRNGKey(5)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,)
+    )
+    px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
+    fx = np.asarray(fused.unormalized_log_prob_parts(batch, **samples)["x"])
+    np.testing.assert_allclose(fx, px, rtol=1e-5)
+
+    def loss(model):
+        def f(p):
+            s, lq = model._surrogate.sample_and_log_prob(p, key, (S,))
+            return -jnp.mean(model.unormalized_log_prob(data=batch, **s) - lq)
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(ref)))(ref.surrogate_params)
+    g_fused = jax.jit(jax.grad(loss(fused)))(fused.surrogate_params)
+    for name in g_ref:
+        for leaf in g_ref[name]:
+            np.testing.assert_allclose(
+                np.asarray(g_fused[name][leaf]), np.asarray(g_ref[name][leaf]),
+                rtol=5e-4, atol=1e-7, err_msg=f"{name}.{leaf}",
+            )
+
+
+@pytest.mark.parametrize("obs", ["poisson", "normal"])
+def test_gaussian_fused_energy_matches_xla(obs):
+    """GaussianFactorization now fuses in BOTH observation modes (the
+    faithful Poisson-obs mode shares the Poisson kernel; normal-obs uses
+    the ('normal', obs_scale) branch)."""
+    from spmf_tpu import GaussianFactorization
+
+    B, D, P, S = 24, 12, 3, 2
+    X = np.random.default_rng(4).poisson(1.0, size=(B, D)).astype(np.float64)
+
+    def build(fused):
+        m = GaussianFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, fused_likelihood=fused,
+            observation_model=obs, obs_scale=0.7,
+        )
+        m._fused_interpret = True
+        return m
+
+    ref = build(False)
+    fused = build(True)
+    assert fused._can_fuse()
+    batch = {"counts": jnp.asarray(X)}
+    key = jax.random.PRNGKey(6)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,)
+    )
+    px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
+    fx = np.asarray(fused.unormalized_log_prob_parts(batch, **samples)["x"])
+    np.testing.assert_allclose(fx, px, rtol=1e-5)
+
+    def loss(model):
+        def f(p):
+            s, lq = model._surrogate.sample_and_log_prob(p, key, (S,))
+            return -jnp.mean(model.unormalized_log_prob(data=batch, **s) - lq)
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(ref)))(ref.surrogate_params)
+    g_fused = jax.jit(jax.grad(loss(fused)))(fused.surrogate_params)
+    for name in g_ref:
+        for leaf in g_ref[name]:
+            np.testing.assert_allclose(
+                np.asarray(g_fused[name][leaf]), np.asarray(g_ref[name][leaf]),
+                rtol=5e-4, atol=1e-7, err_msg=f"{name}.{leaf}",
+            )

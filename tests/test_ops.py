@@ -174,3 +174,84 @@ def test_streaming_waic_terms_exact():
     np.testing.assert_allclose(lppd_i, sp_lse(lls, axis=0) - np.log(23.0),
                                rtol=1e-12)
     np.testing.assert_allclose(pwaic_i, lls.var(axis=0, ddof=1), rtol=1e-10)
+
+
+@pytest.mark.parametrize("log_transform", [False, True])
+def test_fused_bernoulli_matches_reference(log_transform):
+    """likelihood='bernoulli': the same stats kernel with the logit-space
+    Bernoulli ll (reference bernoulli.py:148) must match the XLA frame."""
+    from spmf_tpu.ops import bernoulli_loglik_reference
+
+    theta, v, phi, x, eta = _inputs(log_transform)
+    theta = theta - 0.3  # real-valued logits path: signed operands
+    v = v - 0.05
+    x = jnp.asarray(RNG.integers(0, 2, size=x.shape), jnp.float32)
+    ref = bernoulli_loglik_reference(theta, v, phi, x, eta, log_transform)
+    out = fused_poisson_loglik(theta, v, phi, x, eta, log_transform, True,
+                               likelihood="bernoulli")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5)
+
+
+def test_fused_bernoulli_gradients_match_reference():
+    from spmf_tpu.ops import bernoulli_loglik_reference
+
+    theta, v, phi, x, eta = _inputs(False)
+    theta = theta - 0.3
+    v = v - 0.05
+    x = jnp.asarray(RNG.integers(0, 2, size=x.shape), jnp.float32)
+
+    def f_fused(t, vv, p):
+        return jnp.sum(fused_poisson_loglik(t, vv, p, x, eta, False, True,
+                                            likelihood="bernoulli"))
+
+    def f_ref(t, vv, p):
+        return jnp.sum(bernoulli_loglik_reference(t, vv, p, x, eta, False))
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(theta, v, phi)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(theta, v, phi)
+    for a, b, name in zip(g_fused, g_ref, ("theta", "v", "phi")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_fused_bernoulli_row_loglik_matches_xla():
+    from spmf_tpu.ops import fused_poisson_row_loglik
+
+    theta, v, phi, x, eta = _inputs(False)
+    theta = theta - 0.3
+    v = v - 0.05
+    x = jnp.asarray(RNG.integers(0, 2, size=x.shape), jnp.float32)
+    logits = jnp.matmul(theta, v) * eta + phi
+    ll = x * logits - (jnp.maximum(logits, 0.0)
+                       + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    ref = jnp.sum(ll, axis=-1)
+    out = fused_poisson_row_loglik(theta, v, phi, x, eta, False, True,
+                                   likelihood="bernoulli")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5)
+
+
+def test_fused_normal_obs_matches_reference_and_grads():
+    """likelihood=('normal', s): true-Gaussian observation decoder branch
+    (the net-new mode of GaussianFactorization, SURVEY.md §2.4)."""
+    from spmf_tpu.ops import normal_loglik_reference
+
+    theta, v, phi, x, eta = _inputs(False)
+    theta = theta - 0.3
+    v = v - 0.05
+    x = jnp.asarray(RNG.normal(0.5, 1.0, size=x.shape), jnp.float32)
+    for scale in (1.0, 0.25):  # 0.25: positive ll exists -> upper clip binds
+        ref = normal_loglik_reference(theta, v, phi, x, eta, scale)
+        out = fused_poisson_loglik(theta, v, phi, x, eta, False, True,
+                                   likelihood=("normal", scale))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-5, err_msg=f"scale={scale}")
+
+        g_fused = jax.grad(lambda t, vv, p: jnp.sum(fused_poisson_loglik(
+            t, vv, p, x, eta, False, True, likelihood=("normal", scale))),
+            argnums=(0, 1, 2))(theta, v, phi)
+        g_ref = jax.grad(lambda t, vv, p: jnp.sum(normal_loglik_reference(
+            t, vv, p, x, eta, scale)), argnums=(0, 1, 2))(theta, v, phi)
+        for a, b, name in zip(g_fused, g_ref, ("theta", "v", "phi")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{name} scale={scale}")
