@@ -55,6 +55,52 @@ class MixedFactorization(BernoulliFactorization):
             raise ValueError("feature_dim must match len(column_types)")
         super().__init__(*args, **kwargs)
 
+    def _fused_kind(self):
+        # per-column-block dispatch: _fused_x_part composes one fused
+        # stats-kernel call per column type and combines the scalar
+        # (sums, counts, global-min) outputs exactly — the clip
+        # decomposition (ops/fused_poisson.py docstring) is partition-
+        # independent. Single-device for now.
+        return "mixed" if self.mesh is None else None
+
+    _KERNEL_KINDS = {"poisson": "poisson_softplus", "bernoulli": "bernoulli"}
+
+    def _fused_x_part(self, theta, B, phi, x):
+        import jax.numpy as jnp
+
+        from spmf_tpu.ops.fused_poisson import (
+            _floor_min_val,
+            _fused_stats,
+            _prep,
+        )
+
+        S = theta.shape[0]
+        ssum = jnp.zeros((S,), jnp.float32)
+        cnt = jnp.zeros((S,), jnp.int32)
+        gmin = jnp.zeros((1,), jnp.float32)
+        eta = jnp.asarray(self.eta_i, self.dtype)
+        for t in _TYPES:
+            mask = self._masks[t][0]
+            if not mask.any():
+                continue
+            idx = jnp.asarray(np.where(mask)[0])
+            kind = self._KERNEL_KINDS.get(t, ("normal", float(self.obs_scale)))
+            args = _prep(
+                theta,
+                B[:, :, idx],
+                phi[:, :, idx],
+                x[:, idx],
+                eta[:, idx] if eta.ndim >= 2 else eta,
+            )
+            s_t, c_t, m_t = _fused_stats(*args, self.log_transform,
+                                         self._fused_interpret, kind)
+            ssum = ssum + s_t
+            cnt = cnt + c_t
+            gmin = jnp.minimum(gmin, m_t)
+        sg = jax.lax.stop_gradient
+        m = _floor_min_val(sg(gmin) - 10.0)
+        return ssum + sg(cnt).astype(jnp.float32) * m[0]
+
     def log_likelihood_components(self, s, u, v, w, data, **kwargs):
         x = jnp.asarray(self._counts(data), self.dtype)
         theta_u = self.encode(x, u, s)

@@ -551,32 +551,15 @@ class PoissonFactorization(BayesianModel):
             # (S,B,D) HBM round-trips (spmf_tpu.ops.fused_poisson). With a
             # mesh, the shard_map-composed variant pmin's the clip bound
             # and psum's the sums across dp x fp.
-            from spmf_tpu.ops import (
-                fused_poisson_loglik,
-                fused_poisson_loglik_sharded,
-            )
-
             phi = self.intercept_matrix(params["w"], params["s"])
             B = self.decoding_matrix(params["v"])
             squeeze = theta.ndim == 2
-            th = theta[None] if squeeze else theta
-            args = (
-                th,
+            out = self._fused_x_part(
+                theta[None] if squeeze else theta,
                 B[None] if squeeze else B,
                 phi[None] if squeeze else phi,
                 x,
-                self.eta_i,
-                self.log_transform,
-                self._fused_interpret,
-            )
-            kind = self._fused_kind()
-            if self.mesh is None:
-                out = fused_poisson_loglik(*args, likelihood=kind)
-            else:
-                out = fused_poisson_loglik_sharded(*args[:5], self.mesh,
-                                                   *args[5:],
-                                                   likelihood=kind)
-            out = out.astype(self.dtype)
+            ).astype(self.dtype)
             prior_parts["x"] = out[0] if squeeze else out
             return prior_parts
 
@@ -678,6 +661,26 @@ class PoissonFactorization(BayesianModel):
             axis=(-1, -2),
         )
 
+    def _fused_x_part(self, theta, B, phi, x):
+        """Fused-kernel 'x' energy part, (S,) f32. theta (S,B,K),
+        B (S,K,D), phi (S,1,D), x (B,D). Overridden by MixedFactorization
+        (per-column-block kernel calls + exact scalar combination)."""
+        from spmf_tpu.ops import (
+            fused_poisson_loglik,
+            fused_poisson_loglik_sharded,
+        )
+
+        kind = self._fused_kind()
+        if self.mesh is None:
+            return fused_poisson_loglik(
+                theta, B, phi, x, self.eta_i, self.log_transform,
+                self._fused_interpret, kind,
+            )
+        return fused_poisson_loglik_sharded(
+            theta, B, phi, x, self.eta_i, self.mesh, self.log_transform,
+            self._fused_interpret, likelihood=kind,
+        )
+
     def _can_fuse(self, batch_shape=None):
         """Fused kernel only for the stock Poisson decode path: no subclass
         likelihood/encode overrides and no user-supplied decoder. Under a
@@ -688,24 +691,27 @@ class PoissonFactorization(BayesianModel):
             for dim, ax in zip(batch_shape[-2:], ("dp", "fp")):
                 if ax in self.mesh.axis_names and dim % self.mesh.shape[ax]:
                     return False
-        def _defining_class(name):
-            for c in type(self).__mro__:
-                if name in c.__dict__:
-                    return c
-            return None
+        mro = type(self).__mro__
 
+        def _def_depth(name):
+            for i, c in enumerate(mro):
+                if name in c.__dict__:
+                    return i
+            return len(mro)
+
+        kind_depth = _def_depth("_fused_kind")
         return (
             self.fused_likelihood
             and self._fused_kind() is not None
-            # the likelihood math is baked into the kernel per kind: a
-            # subclass overriding _observation_distribution without taking
-            # responsibility for the kind (overriding _fused_kind in the
-            # same class) silently loses fusion instead of computing a
-            # wrong likelihood
-            and _defining_class("_observation_distribution")
-            is _defining_class("_fused_kind")
-            and type(self).log_likelihood_components
-            is PoissonFactorization.log_likelihood_components
+            # the likelihood math is baked into the kernel per kind: the
+            # class that (re)defines _fused_kind vouches for whatever
+            # observation machinery is in effect AT OR ABOVE it in the
+            # MRO. A subclass overriding the observation distribution or
+            # the likelihood assembly in a MORE derived class without
+            # re-owning _fused_kind silently loses fusion instead of
+            # computing a wrong likelihood.
+            and _def_depth("_observation_distribution") >= kind_depth
+            and _def_depth("log_likelihood_components") >= kind_depth
             # the decode link is baked into the kernel, so both instance- and
             # class-level decoder overrides must disable fusion
             and "decoder_function" not in self.__dict__

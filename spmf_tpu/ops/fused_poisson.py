@@ -182,6 +182,11 @@ def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform,
         # log(obs_scale) + 0.5*log(2*pi)
         c = float(np.log(likelihood[1]) + 0.9189385332046727)
         return -0.5 * r * r - c
+    if likelihood == "poisson_softplus":
+        # MixedFactorization's positive link for Poisson columns:
+        # lam = softplus(rate) (models/mixed.py)
+        lam = _softplus_f32(rate)
+        return x * jnp.log(lam) - lam - lgx
     return x * _safe_log(rate) - rate - lgx
 
 
@@ -197,7 +202,9 @@ def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
     j = pl.program_id(1)
     x = x_ref[:]
     eta = eta_ref[:]
-    lgx = _lgamma_xp1(x) if likelihood == "poisson" else 0.0
+    lgx = (_lgamma_xp1(x)
+           if likelihood in ("poisson", "poisson_softplus")
+           else 0.0)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     in_bounds = (row_ids < B) & (col_ids < D)
@@ -317,6 +324,11 @@ def _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
         c = float(np.log(likelihood[1]) + 0.9189385332046727)
         ll = -0.5 * r * r - c
         dll = r * inv
+    elif likelihood == "poisson_softplus":
+        lam = _softplus_f32(rate)
+        ll = x * jnp.log(lam) - lam - lgx
+        dll = (x / jnp.maximum(lam, jnp.finfo(jnp.float32).tiny) - 1.0) \
+            * jax.nn.sigmoid(rate)
     else:
         ll = x * _safe_log(rate) - rate - lgx
         rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
@@ -357,7 +369,9 @@ def _bwd_kernel(g_ref, theta_ref, v_ref, phi_ref, x_ref,
     i = pl.program_id(1)
     K = theta_ref.shape[-1]
     x, eta = x_ref[:], eta_ref[:]
-    lgx = _lgamma_xp1(x) if likelihood == "poisson" else 0.0
+    lgx = (_lgamma_xp1(x)
+           if likelihood in ("poisson", "poisson_softplus")
+           else 0.0)
     in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
     for s in range(S):
         theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
@@ -529,7 +543,9 @@ def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, out_ref,
     j = pl.program_id(1)
     x = x_ref[:]
     eta = eta_ref[:]
-    lgx = _lgamma_xp1(x) if likelihood == "poisson" else 0.0
+    lgx = (_lgamma_xp1(x)
+           if likelihood in ("poisson", "poisson_softplus")
+           else 0.0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     col_ok = col_ids < D  # out-of-bounds rows are sliced off outside
 

@@ -344,3 +344,53 @@ def test_gaussian_fused_energy_matches_xla(obs):
                 np.asarray(g_fused[name][leaf]), np.asarray(g_ref[name][leaf]),
                 rtol=5e-4, atol=1e-7, err_msg=f"{name}.{leaf}",
             )
+
+
+def test_mixed_fused_energy_matches_xla():
+    """MixedFactorization's fused path: one stats-kernel call per column
+    type, combined exactly on the (sums, counts, global-min) scalars —
+    must reproduce the XLA where-mask assembly and its gradients."""
+    from spmf_tpu import MixedFactorization
+
+    B, D, P, S = 24, 13, 3, 2  # odd D: exercises partition masking
+    rng = np.random.default_rng(7)
+    types = ["poisson"] * 5 + ["bernoulli"] * 5 + ["normal"] * 3
+    rng.shuffle(types)  # non-contiguous blocks
+    X = rng.poisson(1.0, size=(B, D)).astype(np.float64)
+    X[:, [i for i, t in enumerate(types) if t == "bernoulli"]] %= 2
+
+    def build(fused):
+        m = MixedFactorization(
+            column_types=types, latent_dim=P, feature_dim=D,
+            u_tau_scale=0.1, dtype="float64", fused_likelihood=fused,
+            obs_scale=0.8,
+        )
+        m._fused_interpret = True
+        return m
+
+    ref = build(False)
+    fused = build(True)
+    assert fused._can_fuse()
+    batch = {"counts": jnp.asarray(X)}
+    key = jax.random.PRNGKey(8)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,)
+    )
+    px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
+    fx = np.asarray(fused.unormalized_log_prob_parts(batch, **samples)["x"])
+    np.testing.assert_allclose(fx, px, rtol=1e-5)
+
+    def loss(model):
+        def f(p):
+            s, lq = model._surrogate.sample_and_log_prob(p, key, (S,))
+            return -jnp.mean(model.unormalized_log_prob(data=batch, **s) - lq)
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(ref)))(ref.surrogate_params)
+    g_fused = jax.jit(jax.grad(loss(fused)))(fused.surrogate_params)
+    for name in g_ref:
+        for leaf in g_ref[name]:
+            np.testing.assert_allclose(
+                np.asarray(g_fused[name][leaf]), np.asarray(g_ref[name][leaf]),
+                rtol=5e-4, atol=1e-7, err_msg=f"{name}.{leaf}",
+            )
