@@ -575,43 +575,30 @@ class PoissonFactorization(BayesianModel):
         prior_parts["x"] = jnp.sum(ll, axis=(-1, -2))
         return prior_parts
 
-    def _coo_log_prob_parts(self, data, prior_parts, params):
-        """Sparse (COO) energy: trains on padded triplet batches without
-        ever materializing the dense (B, D) slab — the nonzero term is a
-        gather-dot over the triplets and the rate total collapses to
-        sum_b(theta) . sum_d(v*eta) for the identity decode link
-        (spmf_tpu.data.SparseCounts.as_coo; BASELINE.json north-star sparse
-        encoder design).
-
-        Deliberate divergence from the dense path (documented in
-        docs/PARITY.md): the exact Poisson log-likelihood is finite by
-        construction here, so the reference's data-dependent clip
-        (poisson.py:606-619) is a no-op and is not applied."""
+    def _coo_encode_nz(self, rows, cols, vals, B, A, v, phi, eta,
+                       psum_axis=None):
+        """Shared COO math: encode theta from (possibly dp-local) triplets
+        and compute the nonzero likelihood term. With ``psum_axis`` the raw
+        segment-sums, row sums, and nonzero sums are ``lax.psum``'d — the
+        row scaling is applied AFTER the psum so each row's full triplet
+        set contributes regardless of shard assignment."""
         from jax.scipy.special import gammaln
 
         from spmf_tpu.ops import sparse_encode_coo
 
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "the sparse COO energy is single-device for now; "
-                "use dense slab batches under a mesh"
-            )
-        rows = data["coo_rows"]
-        cols = data["coo_cols"]
-        vals = jnp.asarray(data["coo_vals"], self.dtype)
-        B = data["indices"].shape[0]
-
-        A = self.encoding_matrix(params["u"], params["s"])   # (..., D, K)
         theta = sparse_encode_coo(
             rows, cols, vals, B, A, self.eta_i, self.log_transform,
-            xi_global=self.xi_u_global if self.scale_rows else None,
+            xi_global=None,
         )                                                    # (..., B, K)
-        prior_parts["z"] = self._theta_prior_log_prob(theta)
-
-        v = self.decoding_matrix(params["v"])                # (..., K, D)
-        phi = self.intercept_matrix(params["w"], params["s"])  # (..., 1, D)
-        D = v.shape[-1]
-        eta = jnp.broadcast_to(jnp.asarray(self.eta_i, self.dtype), (1, D))[0]
+        if psum_axis is not None:
+            theta = jax.lax.psum(theta, psum_axis)
+        if self.scale_rows:
+            rowsums = jax.ops.segment_sum(vals, rows, num_segments=B)
+            if psum_axis is not None:
+                rowsums = jax.lax.psum(rowsums, psum_axis)
+            theta = theta * (
+                rowsums / jnp.asarray(self.xi_u_global, A.dtype)
+            )[:, None]
 
         # nonzero term: sum_nz [x log(rate) - lgamma(x+1)]; zero padding is
         # an exact no-op (x=0 -> both pieces vanish; rate floored positive)
@@ -627,6 +614,76 @@ class PoissonFactorization(BayesianModel):
         nz_term = jnp.sum(
             vals * jnp.log(rate_nz) - gammaln(vals + 1.0), axis=-1
         )
+        if psum_axis is not None:
+            nz_term = jax.lax.psum(nz_term, psum_axis)
+        return theta, nz_term
+
+    def _coo_log_prob_parts(self, data, prior_parts, params):
+        """Sparse (COO) energy: trains on padded triplet batches without
+        ever materializing the dense (B, D) slab — the nonzero term is a
+        gather-dot over the triplets and the rate total collapses to
+        sum_b(theta) . sum_d(v*eta) for the identity decode link
+        (spmf_tpu.data.SparseCounts.as_coo; BASELINE.json north-star sparse
+        encoder design).
+
+        Deliberate divergence from the dense path (documented in
+        docs/PARITY.md): the exact Poisson log-likelihood is finite by
+        construction here, so the reference's data-dependent clip
+        (poisson.py:606-619) is a no-op and is not applied."""
+        rows = data["coo_rows"]
+        cols = data["coo_cols"]
+        vals = jnp.asarray(data["coo_vals"], self.dtype)
+        B = data["indices"].shape[0]
+
+        A = self.encoding_matrix(params["u"], params["s"])   # (..., D, K)
+        v = self.decoding_matrix(params["v"])                # (..., K, D)
+        phi = self.intercept_matrix(params["w"], params["s"])  # (..., 1, D)
+        D = v.shape[-1]
+        eta = jnp.broadcast_to(jnp.asarray(self.eta_i, self.dtype), (1, D))[0]
+
+        dp = None
+        if self.mesh is not None:
+            for ax in self.mesh.axis_names:
+                if self.mesh.shape[ax] <= 1:
+                    continue
+                if ax != "dp":
+                    raise NotImplementedError(
+                        "the sparse COO energy shards triplets over 'dp' "
+                        f"only; mesh axis {ax!r} has size "
+                        f"{self.mesh.shape[ax]} (feature-shard the dense "
+                        "slab path instead)"
+                    )
+                dp = ax
+        if dp is not None and rows.shape[-1] % self.mesh.shape[dp]:
+            raise ValueError(
+                f"padded nnz {rows.shape[-1]} must divide the dp size "
+                f"{self.mesh.shape[dp]} (pad SparseCounts.as_coo batches "
+                "to a multiple)"
+            )
+
+        if dp is None:
+            theta, nz_term = self._coo_encode_nz(rows, cols, vals, B, A, v,
+                                                 phi, eta)
+        else:
+            # triplets shard over dp (arbitrary row assignment is fine:
+            # the per-shard partial segment-sums and nonzero sums are
+            # exact under psum); params replicate
+            from jax.sharding import PartitionSpec as P
+
+            def body(rows, cols, vals, A, v, phi, eta):
+                theta, nz = self._coo_encode_nz(
+                    rows, cols, vals, B, A, v, phi, eta, psum_axis=dp
+                )
+                return theta, nz
+
+            theta, nz_term = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(dp), P(dp), P(dp), P(), P(), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(rows, cols, vals, A, v, phi, eta)
+
+        prior_parts["z"] = self._theta_prior_log_prob(theta)
         # -sum_ij rate over ALL B x D entries, without materializing them
         if self.log_transform:
             # rate = exp(tv*eta) - 1 + phi: the exp total needs the fused

@@ -342,3 +342,62 @@ def test_fused_ig_sampler_plain_under_dp_mesh():
     ref = run(None)
     out = run(data_parallel_mesh(8))
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_coo_energy_dp_sharded_matches_single_device():
+    """Sparse COO training under a dp mesh: triplets shard over dp with
+    psum'd segment-sums / row sums / nonzero sums — the energy must equal
+    the single-device COO energy exactly (arbitrary row-shard assignment,
+    zero padding, row scaling on)."""
+    from spmf_tpu.data import SparseCounts
+
+    rng = np.random.default_rng(9)
+    dense = rng.poisson(0.8, (40, 12)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    rows, cols, vals = sp.batch_coo(np.arange(40))
+    pad = ((len(vals) + 39) // 40) * 40  # divisible by dp=8 (and 40)
+    batch = {
+        "coo_rows": np.zeros(pad, np.int32),
+        "coo_cols": np.zeros(pad, np.int32),
+        "coo_vals": np.zeros(pad),
+        "indices": np.arange(40),
+    }
+    batch["coo_rows"][:len(vals)] = rows
+    batch["coo_cols"][:len(vals)] = cols
+    batch["coo_vals"][:len(vals)] = vals
+    # shuffle triplets: shards must not rely on row-contiguity
+    perm = rng.permutation(pad)
+    for k in ("coo_rows", "coo_cols", "coo_vals"):
+        batch[k] = batch[k][perm]
+
+    def run(mesh):
+        m = PoissonFactorization(
+            latent_dim=3, feature_dim=12, u_tau_scale=0.1, dtype="float64",
+            mesh=mesh, data=sp.batch(40),
+        )
+        key = jax.random.PRNGKey(1)
+        samples, _ = m._surrogate.sample_and_log_prob(
+            m.surrogate_params, key, (3,)
+        )
+        return np.asarray(jax.jit(
+            lambda s: m.unormalized_log_prob(data=batch, **s)
+        )(samples))
+
+    ref = run(None)
+    out = run(data_parallel_mesh(8))
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+    # gradients flow through the sharded path
+    mesh = data_parallel_mesh(8)
+    m = PoissonFactorization(
+        latent_dim=3, feature_dim=12, u_tau_scale=0.1, dtype="float64",
+        mesh=mesh, data=sp.batch(40),
+    )
+    key = jax.random.PRNGKey(1)
+
+    def loss(p):
+        s, lq = m._surrogate.sample_and_log_prob(p, key, (3,))
+        return -jnp.mean(m.unormalized_log_prob(data=batch, **s) - lq)
+
+    g = jax.jit(jax.grad(loss))(m.surrogate_params)
+    assert np.abs(np.asarray(g["u"]["loc"])).max() > 0
