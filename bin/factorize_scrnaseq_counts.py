@@ -33,7 +33,21 @@ def main():
                     help="train on padded COO triplets (device-side sparse "
                          "energy; never densifies row slabs — for matrices "
                          "too wide/tall to slab through host RAM)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard minibatch rows (or COO triplets with "
+                         "--sparse) over all local devices via a dp mesh "
+                         "(multi-host: call jax.distributed.initialize "
+                         "before running)")
     args = ap.parse_args()
+
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from spmf_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        print(f"data-parallel mesh: {len(jax.devices())} devices")
 
     datapath = os.path.join(args.datapath, "")
     name = args.dataset
@@ -97,6 +111,7 @@ def main():
         data,
         latent_dim=P,
         strategy=None,
+        mesh=mesh,
         scale_rates=True,
         column_norms=col_norm,
         log_transform=True,
