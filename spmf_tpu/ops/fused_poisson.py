@@ -190,35 +190,88 @@ def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform,
     return x * _safe_log(rate) - rate - lgx
 
 
-def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
-                  sum_ref, cnt_ref, min_ref, *, B, D, S, log_transform,
-                  likelihood):
-    """Single pass emitting, per ELBO sample: the partial sum of
-    ``min(ll, 0)`` over finite ``ll > FLOOR`` entries, the count of
-    clipped entries (nonfinite or ``<= FLOOR``), and (shared across
-    samples) the global finite-min of ``ll`` (0-initialized, matching
-    ``jnp.min(where(finite, ll, 0))`` of the reference path)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    x = x_ref[:]
-    eta = eta_ref[:]
+def _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx, s, in_bounds,
+                   log_transform, likelihood):
+    """ll plus the UNIT-cotangent pathwise derivatives d(sum ll)/d(tv) and
+    d(sum ll)/d(rate) for one (row-tile, col-tile, sample). Operands must
+    already have their out-of-bounds padding zeroed (NaN leaks through
+    0*garbage). The active set uses the static FLOOR: by the clip-
+    decomposition invariant it equals the dynamic {ll > m} set."""
+    tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
+    if log_transform:
+        ev = jnp.exp(tv * eta)
+        rate = ev - 1.0 + phi_ref[s]
+    else:
+        rate = tv * eta + phi_ref[s]
+    if likelihood == "bernoulli":
+        ll = x * rate - _softplus_f32(rate)
+        dll = x - jax.nn.sigmoid(rate)
+    elif isinstance(likelihood, tuple):  # ("normal", obs_scale)
+        inv = 1.0 / likelihood[1]
+        r = (x - rate) * inv
+        c = float(np.log(likelihood[1]) + 0.9189385332046727)
+        ll = -0.5 * r * r - c
+        dll = r * inv
+    elif likelihood == "poisson_softplus":
+        lam = _softplus_f32(rate)
+        ll = x * jnp.log(lam) - lam - lgx
+        dll = (x / jnp.maximum(lam, jnp.finfo(jnp.float32).tiny) - 1.0) \
+            * jax.nn.sigmoid(rate)
+    else:
+        ll = x * _safe_log(rate) - rate - lgx
+        rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
+        dll = x / rate_safe - 1.0
+    active = (jnp.isfinite(ll) & (ll > jnp.float32(FLOOR)) & (ll < 0.0)
+              & in_bounds)
+    drate = jnp.where(active, dll, 0.0)
+    if log_transform:
+        dtv = drate * ev * eta
+    else:
+        dtv = drate * eta
+    # padded-tile lanes hold uninitialized VMEM: 0 * garbage can be NaN
+    # and would poison the whole matmul row — mask after the product
+    dtv = jnp.where(active, dtv, 0.0)
+    return ll, dtv, drate
+
+
+def _stats_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
+                       sum_ref, cnt_ref, min_ref,
+                       dtheta_p_ref, dv_ref, dphi_ref,
+                       *, B, D, S, log_transform, likelihood):
+    """ONE tile pass computing BOTH the clip-decomposition stats (per-
+    sample sums of min(ll,0) over finite ll > FLOOR, clip counts, global
+    finite-min) AND the three pathwise gradients at UNIT cotangent. The
+    'x' energy part's gradient is linear in its per-sample scalar
+    cotangent, so the backward is a scalar rescale of these residuals —
+    the whole fwd+bwd is a single sweep over x (3 tile matmuls) instead
+    of a stats pass plus a recompute backward pass (1 + 3 matmuls over
+    two sweeps).
+
+    Grid (cols, rows) with rows INNER: dv/dphi blocks (col-indexed) stay
+    resident across the row sweep; dtheta is written as per-col-tile
+    PARTIALS (summed over the col axis in XLA afterwards)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    K = theta_ref.shape[-1]
+    x, eta = x_ref[:], eta_ref[:]
     lgx = (_lgamma_xp1(x)
            if likelihood in ("poisson", "poisson_softplus")
            else 0.0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
-    in_bounds = (row_ids < B) & (col_ids < D)
+    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
 
     @pl.when((i == 0) & (j == 0))
-    def _init():
+    def _init_stats():
         min_ref[0] = jnp.float32(0.0)
         for s in range(S):
             sum_ref[s] = jnp.float32(0.0)
             cnt_ref[s] = jnp.int32(0)
 
     for s in range(S):  # static unroll: blocks carry the full sample dim
-        ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s,
-                      log_transform, likelihood)
+        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
+        v_s = jnp.where(col_ok, v_ref[s], 0.0)
+        ll, dtv, drate = _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx,
+                                        s, in_bounds, log_transform,
+                                        likelihood)
         finite = jnp.isfinite(ll)
         min_ref[0] = jnp.minimum(
             min_ref[0], jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
@@ -230,6 +283,21 @@ def _stats_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
         cnt_ref[s] = cnt_ref[s] + jnp.sum(
             jnp.where((~keep) & in_bounds, 1, 0).astype(jnp.int32)
         )
+
+        dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
+                                     preferred_element_type=jnp.float32)
+        dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
+        dph_s = jnp.sum(drate, axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init():
+            dv_ref[s] = dv_s
+            dphi_ref[s] = dph_s
+
+        @pl.when(i != 0)
+        def _accum():
+            dv_ref[s] += dv_s
+            dphi_ref[s] += dph_s
 
 
 def _data_specs(S, K):
@@ -260,8 +328,12 @@ def _fused_stats(theta, v, phi, x, eta, log_transform, interpret,
                  likelihood="poisson"):
     """(sums (S,) f32, counts (S,) i32, global finite-min (1,) f32) of the
     clip decomposition (module docstring). Inputs must be f32-prepped.
-    Backward: gradient of the sums only (the counts are piecewise constant
-    and the clip bound is a constant to autodiff by design)."""
+    The forward SPECULATIVELY computes the three pathwise gradients at
+    unit cotangent in the same tile pass (_stats_grad_kernel) and saves
+    them as residuals (~(S,B,K)+(S,K,D), tiny next to x); the backward is
+    a per-sample scalar rescale — gradient of the sums only (the counts
+    are piecewise constant and the clip bound is a constant to autodiff
+    by design)."""
     out, _ = _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
                         likelihood)
     return out
@@ -271,146 +343,14 @@ def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
                likelihood="poisson"):
     S, B, K = theta.shape
     D = x.shape[-1]
-    grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out = pl.pallas_call(
-        functools.partial(_stats_kernel, B=B, D=D, S=S,
-                          log_transform=log_transform,
-                          likelihood=likelihood),
-        grid=grid,
-        in_specs=_data_specs(S, K),
-        out_specs=(smem, smem, smem),
-        out_shape=(
-            jax.ShapeDtypeStruct((S,), jnp.float32),
-            jax.ShapeDtypeStruct((S,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
-        ),
-        interpret=interpret,
-        cost_estimate=_cost(S, B, K, D),
-    )(theta, v, phi, x, eta)
-    return out, (theta, v, phi, x, eta)
-
-
-def _stats_bwd(log_transform, interpret, likelihood, res, cot):
-    theta, v, phi, x, eta = res
-    gsum = jnp.asarray(cot[0], jnp.float32)
-    dtheta, dv, dphi = _bwd_pallas(theta, v, phi, x, eta, gsum,
-                                   log_transform, interpret, likelihood)
-    return dtheta, dv, dphi, None, None
-
-
-_fused_stats.defvjp(_stats_fwd, _stats_bwd)
-
-
-def _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x, eta, lgx,
-             in_bounds, log_transform, likelihood="poisson"):
-    """Recompute one (row-tile, col-tile, sample) dtv = d(sum ll)/d(theta@v),
-    with drate as the second return (for dphi). Operands must already have
-    their out-of-bounds padding zeroed (NaN leaks through 0*garbage).
-    The active set uses the static FLOOR: by the clip-decomposition
-    invariant it equals the dynamic {ll > m} set (module docstring)."""
-    tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
-    if log_transform:
-        ev = jnp.exp(tv * eta)
-        rate = ev - 1.0 + phi_ref[s]
-    else:
-        rate = tv * eta + phi_ref[s]
-    if likelihood == "bernoulli":
-        ll = x * rate - _softplus_f32(rate)
-        dll = x - jax.nn.sigmoid(rate)
-    elif isinstance(likelihood, tuple):  # ("normal", obs_scale)
-        inv = 1.0 / likelihood[1]
-        r = (x - rate) * inv
-        c = float(np.log(likelihood[1]) + 0.9189385332046727)
-        ll = -0.5 * r * r - c
-        dll = r * inv
-    elif likelihood == "poisson_softplus":
-        lam = _softplus_f32(rate)
-        ll = x * jnp.log(lam) - lam - lgx
-        dll = (x / jnp.maximum(lam, jnp.finfo(jnp.float32).tiny) - 1.0) \
-            * jax.nn.sigmoid(rate)
-    else:
-        ll = x * _safe_log(rate) - rate - lgx
-        rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
-        dll = x / rate_safe - 1.0
-    active = (jnp.isfinite(ll) & (ll > jnp.float32(FLOOR)) & (ll < 0.0)
-              & in_bounds)
-    drate = jnp.where(active, dll, 0.0) * g_ref[s]
-    if log_transform:
-        dtv = drate * ev * eta
-    else:
-        dtv = drate * eta
-    # padded-tile lanes hold uninitialized VMEM: 0 * garbage can be NaN
-    # and would poison the whole matmul row — mask after the product
-    dtv = jnp.where(active, dtv, 0.0)
-    return dtv, jnp.where(active, drate, 0.0)
-
-
-def _masks(i, j, B, D, K):
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
-    in_bounds = (row_ids < B) & (col_ids < D)
-    row_ok = (jax.lax.broadcasted_iota(jnp.int32, (TB, K), 0) + i * TB) < B
-    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (K, TD), 1) + j * TD) < D
-    return in_bounds, row_ok, col_ok
-
-
-def _bwd_kernel(g_ref, theta_ref, v_ref, phi_ref, x_ref,
-                eta_ref, dtheta_p_ref, dv_ref, dphi_ref,
-                *, B, D, S, log_transform, likelihood):
-    """All three gradients in ONE tile pass (the tv recompute is the
-    expensive part at K=32 — the MXU runs at ~25% utilization, so saving a
-    pass is ~25% of the backward). Grid (cols, rows) with rows INNER:
-    dv/dphi blocks (col-indexed) stay resident across the row sweep, while
-    dtheta is written as per-col-tile PARTIALS (summed over the col axis in
-    XLA afterwards — a (nd, S, B, K) f32 spill, trivial traffic next to the
-    (B, D) operands)."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-    K = theta_ref.shape[-1]
-    x, eta = x_ref[:], eta_ref[:]
-    lgx = (_lgamma_xp1(x)
-           if likelihood in ("poisson", "poisson_softplus")
-           else 0.0)
-    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
-    for s in range(S):
-        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
-        v_s = jnp.where(col_ok, v_ref[s], 0.0)
-        dtv, drate = _bwd_dtv(s, g_ref, theta_s, v_s, phi_ref, x,
-                              eta, lgx, in_bounds, log_transform,
-                              likelihood)
-        dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
-                                     preferred_element_type=jnp.float32)
-        dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
-        dph_s = jnp.sum(drate, axis=0, keepdims=True)
-
-        @pl.when(i == 0)
-        def _init():
-            dv_ref[s] = dv_s
-            dphi_ref[s] = dph_s
-
-        @pl.when(i != 0)
-        def _accum():
-            dv_ref[s] += dv_s
-            dphi_ref[s] += dph_s
-
-
-def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret,
-                likelihood="poisson"):
-    """One blocked kernel computing all three gradients — every output is
-    tiled on its own grid dimension, so nothing of shape (S,B,D) OR a full
-    gradient array ever sits in VMEM; the tv recompute runs once more
-    (cheap MXU) in exchange."""
-    S, B, K = theta.shape
-    D = x.shape[-1]
     nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
-    dtheta_p, dv, dphi = pl.pallas_call(
-        functools.partial(_bwd_kernel, B=B, D=D, S=S,
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ssum, cnt, gmin, dtheta_p, dv, dphi = pl.pallas_call(
+        functools.partial(_stats_grad_kernel, B=B, D=D, S=S,
                           log_transform=log_transform,
                           likelihood=likelihood),
         grid=(nd, nb),  # rows inner: dv/dphi blocks resident per col tile
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # g (S,)
             pl.BlockSpec((S, TB, K), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
@@ -423,6 +363,7 @@ def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            smem, smem, smem,
             pl.BlockSpec((1, S, TB, K), lambda j, i: (j, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
@@ -431,6 +372,9 @@ def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((S,), jnp.float32),
+            jax.ShapeDtypeStruct((S,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
             jax.ShapeDtypeStruct((nd, S, nb * TB, K), jnp.float32),
             jax.ShapeDtypeStruct((S, K, nd * TD), jnp.float32),
             jax.ShapeDtypeStruct((S, 1, nd * TD), jnp.float32),
@@ -442,9 +386,27 @@ def _bwd_pallas(theta, v, phi, x, eta, g, log_transform, interpret,
                             + B * D) * 4,
             transcendentals=2 * S * B * D,
         ),
-    )(g, theta, v, phi, x, eta)
-    dtheta = jnp.sum(dtheta_p, axis=0)
-    return dtheta[:, :B, :], dv[..., :D], dphi[..., :D]
+    )(theta, v, phi, x, eta)
+    dtheta = jnp.sum(dtheta_p, axis=0)[:, :B, :]
+    return (ssum, cnt, gmin), (dtheta, dv[..., :D], dphi[..., :D])
+
+
+def _stats_bwd(log_transform, interpret, likelihood, res, cot):
+    dtheta_u, dv_u, dphi_u = res
+    g = jnp.asarray(cot[0], jnp.float32)[:, None, None]  # (S,1,1)
+    return dtheta_u * g, dv_u * g, dphi_u * g, None, None
+
+
+_fused_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
+def _masks(i, j, B, D, K):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
+    in_bounds = (row_ids < B) & (col_ids < D)
+    row_ok = (jax.lax.broadcasted_iota(jnp.int32, (TB, K), 0) + i * TB) < B
+    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (K, TD), 1) + j * TD) < D
+    return in_bounds, row_ok, col_ok
 
 
 def _prep(theta, v, phi, x, eta):
