@@ -557,61 +557,33 @@ def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
 # the same two-kernel structure as the likelihood backward).
 
 
-def _expsum_kernel(theta_ref, v_ref, eta_ref, out_ref, *, B, D, S):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    eta = eta_ref[:]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 0) + i * TB
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
-    in_bounds = (row_ids < B) & (col_ids < D)
-
-    @pl.when((i == 0) & (j == 0))
-    def _init():
-        for s in range(S):
-            out_ref[s] = jnp.float32(0.0)
-
-    for s in range(S):
-        tv = jnp.dot(theta_ref[s], v_ref[s],
-                     preferred_element_type=jnp.float32)
-        ev = jnp.exp(tv * eta)
-        out_ref[s] = out_ref[s] + jnp.sum(jnp.where(in_bounds, ev, 0.0))
-
-
-def _expsum_bwd_dtheta_kernel(g_ref, theta_ref, v_ref, eta_ref, dtheta_ref,
-                              *, B, D, S):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    K = theta_ref.shape[-1]
-    eta = eta_ref[:]
-    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
-    for s in range(S):
-        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
-        v_s = jnp.where(col_ok, v_ref[s], 0.0)
-        tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
-        dtv = jnp.where(in_bounds, jnp.exp(tv * eta) * eta, 0.0) * g_ref[s]
-        dth = jnp.dot(dtv, v_s.T, preferred_element_type=jnp.float32)
-
-        @pl.when(j == 0)
-        def _init():
-            dtheta_ref[s] = dth
-
-        @pl.when(j != 0)
-        def _accum():
-            dtheta_ref[s] += dth
-
-
-def _expsum_bwd_dv_kernel(g_ref, theta_ref, v_ref, eta_ref, dv_ref,
-                          *, B, D, S):
+def _expsum_grad_kernel(theta_ref, v_ref, eta_ref, out_ref,
+                        dtheta_p_ref, dv_ref, *, B, D, S):
+    """R_s partial sums PLUS the unit-cotangent gradients dR/dtheta and
+    dR/dv in the same tile pass (the cotangent of R_s is a per-sample
+    scalar, so the VJP backward is a rescale — same speculative-gradient
+    structure as _stats_grad_kernel). Grid (cols, rows), rows inner:
+    dv blocks resident; dtheta spilled as per-col-tile partials."""
     j = pl.program_id(0)
     i = pl.program_id(1)
     K = theta_ref.shape[-1]
     eta = eta_ref[:]
     in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_sums():
+        for s in range(S):
+            out_ref[s] = jnp.float32(0.0)
+
     for s in range(S):
         theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
         v_s = jnp.where(col_ok, v_ref[s], 0.0)
         tv = jnp.dot(theta_s, v_s, preferred_element_type=jnp.float32)
-        dtv = jnp.where(in_bounds, jnp.exp(tv * eta) * eta, 0.0) * g_ref[s]
+        ev = jnp.exp(tv * eta)
+        out_ref[s] = out_ref[s] + jnp.sum(jnp.where(in_bounds, ev, 0.0))
+        dtv = jnp.where(in_bounds, ev * eta, 0.0)
+        dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
+                                     preferred_element_type=jnp.float32)
         dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
 
         @pl.when(i == 0)
@@ -623,27 +595,12 @@ def _expsum_bwd_dv_kernel(g_ref, theta_ref, v_ref, eta_ref, dv_ref,
             dv_ref[s] += dv_s
 
 
-def _expsum_specs(S, K, order):
-    if order == "ij":
-        im = lambda a, b: (a, b)
-    else:
-        im = lambda a, b: (b, a)
-    return [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # g (S,)
-        pl.BlockSpec((S, TB, K), lambda a, b: (0, im(a, b)[0], 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((S, K, TD), lambda a, b: (0, 0, im(a, b)[1]),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TD), lambda a, b: (0, im(a, b)[1]),
-                     memory_space=pltpu.VMEM),
-    ]
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_exp_rate_sum(theta, v, eta, interpret=False):
     """R_s = sum_ij exp((theta_s @ v_s) * eta), shape (S,), float32.
 
-    theta (S,B,K), v (S,K,D), eta (1,D) or scalar."""
+    theta (S,B,K), v (S,K,D), eta (1,D) or scalar. The forward emits the
+    unit-cotangent gradients from the same tiles; the backward rescales."""
     out, _ = _expsum_fwd(theta, v, eta, interpret)
     return out
 
@@ -660,53 +617,45 @@ def _expsum_fwd(theta, v, eta, interpret):
     theta, v, eta = _expsum_prep(theta, v, eta)
     S, B, K = theta.shape
     D = v.shape[-1]
-    grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))
-    out = pl.pallas_call(
-        functools.partial(_expsum_kernel, B=B, D=D, S=S),
-        grid=grid,
+    nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
+    out, dtheta_p, dv = pl.pallas_call(
+        functools.partial(_expsum_grad_kernel, B=B, D=D, S=S),
+        grid=(nd, nb),
         in_specs=[
-            pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
+            pl.BlockSpec((S, TB, K), lambda j, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, K, TD), lambda i, j: (0, 0, j),
+            pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TD), lambda i, j: (0, j),
+            pl.BlockSpec((1, TD), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((S,), jnp.float32),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, TB, K), lambda j, i: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S,), jnp.float32),
+            jax.ShapeDtypeStruct((nd, S, nb * TB, K), jnp.float32),
+            jax.ShapeDtypeStruct((S, K, nd * TD), jnp.float32),
+        ),
         interpret=interpret,
-        cost_estimate=_cost(S, B, K, D),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * S * B * K * D,
+            bytes_accessed=(nd * S * B * K + S * B * K + 2 * S * K * D) * 4,
+            transcendentals=S * B * D,
+        ),
     )(theta, v, eta)
-    return out, (theta, v, eta)
+    dtheta = jnp.sum(dtheta_p, axis=0)[:, :B, :]
+    return out, (dtheta, dv[..., :D])
 
 
 def _expsum_bwd(interpret, res, g):
-    theta, v, eta = res
-    S, B, K = theta.shape
-    D = v.shape[-1]
-    g = jnp.asarray(g, jnp.float32)
-    nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
-    dtheta = pl.pallas_call(
-        functools.partial(_expsum_bwd_dtheta_kernel, B=B, D=D, S=S),
-        grid=(nb, nd),
-        in_specs=_expsum_specs(S, K, "ij"),
-        out_specs=pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, nb * TB, K), jnp.float32),
-        interpret=interpret,
-        cost_estimate=_cost(S, B, K, D),
-    )(g, theta, v, eta)
-    dv = pl.pallas_call(
-        functools.partial(_expsum_bwd_dv_kernel, B=B, D=D, S=S),
-        grid=(nd, nb),
-        in_specs=_expsum_specs(S, K, "ji"),
-        out_specs=pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, K, nd * TD), jnp.float32),
-        interpret=interpret,
-        cost_estimate=_cost(S, B, K, D),
-    )(g, theta, v, eta)
-    return dtheta[:, :B, :], dv[..., :D], None
+    dtheta_u, dv_u = res
+    g = jnp.asarray(g, jnp.float32)[:, None, None]
+    return dtheta_u * g, dv_u * g, None
 
 
 fused_exp_rate_sum.defvjp(_expsum_fwd, _expsum_bwd)
