@@ -1,11 +1,19 @@
 """bf16-matmul experiment for the fused likelihood kernels (VERDICT r1 #10).
 
-Casts theta/v to bfloat16 at the MXU inputs (f32 accumulation) inside the
-fused likelihood kernels via monkeypatching, and interleaves full training
-steps against the f32 baseline in one process. The decode epilogue, x, and
-the clip semantics stay f32. Prints the interleaved medians; the decision
-(adopt / document negative result) is recorded in docs/ROADMAP.md.
+HISTORICAL — the monkeypatched hooks (_tile_ll/_bwd_dtv) belong to the
+r2 two-pass kernel structure this experiment measured. The result was
+negative twice (no gain; after the single-pass restructure the bf16 casts
+produced BIT-IDENTICAL outputs to the f32 dots — Mosaic already lowers
+these K=32 f32 dots to single-pass-bf16 MXU; docs/ROADMAP.md), so the
+experiment was retired when the stats+grad kernel replaced those hooks.
+Kept for the record of the methodology; it exits with a pointer instead
+of running.
 """
+import sys
+
+print(__doc__)
+sys.exit(0)
+
 import os
 import sys
 import time

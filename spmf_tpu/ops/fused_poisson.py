@@ -41,15 +41,19 @@ Kernel geometry: the ELBO-sample dim S is unrolled *inside* the kernel body
 (theta/v/phi blocks carry full S), so each (row-tile, col-tile) of x is
 DMA'd once per kernel, and each grid is (B/128) x (D/1024) steps.
 
-Gradients: ``_fused_stats`` carries a custom VJP whose backward kernel
-recomputes each tile — no (S,B,D) residuals are saved, which also beats XLA
-autodiff (measured 121 ms vs 161 ms at S=8, B=1024, K=32, D=20k on v5e).
-Divergence from raw autodiff (documented in docs/PARITY.md): the clip bound
-``m`` is treated as a constant in the backward (autodiff would route a
-gradient to the argmin element); the XLA fallback path keeps exact autodiff.
-The active-gradient set {finite, ll < 0, ll > m} is expressible with the
-static FLOOR (``ll > FLOOR``, by the invariant above), so the backward does
-not need ``m`` at all.
+Gradients: the 'x' energy part's gradient is LINEAR in its per-sample
+scalar cotangent, so ``_fused_stats``'s forward SPECULATIVELY emits the
+three pathwise gradients at unit cotangent from the same tiles
+(``_stats_grad_kernel``) and the custom-VJP backward is a per-sample scalar
+rescale of small residuals ((S,B,K)+(S,K,D)+(S,1,D)) — the whole fwd+bwd is
+ONE sweep over x (interleaved A/B at B=4096/D=20k: 18.6 ms for the original
+two-pass-fwd + recompute-bwd chain, 11.8 ms for this). Divergence from raw
+autodiff (documented in docs/PARITY.md): the clip bound ``m`` is treated as
+a constant in the backward (autodiff would route a gradient to the argmin
+element); the XLA fallback path keeps exact autodiff. The active-gradient
+set {finite, ll < 0, ll > m} is expressible with the static FLOOR
+(``ll > FLOOR``, by the invariant above), so the gradients can be computed
+before ``m`` is known.
 """
 from __future__ import annotations
 
