@@ -91,22 +91,23 @@ def _snapshot(tree):
     return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
-def _sharding_tree(tree):
-    return jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None), tree)
+@jax.jit
+def _copy_arrays(tree):
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
-def _restore(tree_np, shardings=None):
-    """Host-numpy pytree back to device, re-applying the captured shardings
-    (a plain jnp.asarray would silently de-shard fp/dp-placed params and the
-    donated jitted step would then recompile or mis-place)."""
-    if shardings is None:
-        return jax.tree_util.tree_map(jnp.asarray, tree_np)
+def _device_copy(tree):
+    """On-device copy of a pytree (new buffers; shardings preserved): best-
+    params tracking without host round-trips — the donated jitted step
+    invalidates prior buffers, so a real copy is required, but it stays on
+    the chip (~0.1 ms for 70 MB) instead of a device_get through the host
+    (which costs ~50 ms/epoch through the TPU tunnel). Jitted: ONE dispatch
+    per tree, not one per leaf (each eager dispatch pays tunnel latency)."""
+    if all(isinstance(x, jax.Array)
+           for x in jax.tree_util.tree_leaves(tree)):
+        return _copy_arrays(tree)
     return jax.tree_util.tree_map(
-        lambda v, s: jax.device_put(np.asarray(v), s)
-        if s is not None
-        else jnp.asarray(v),
-        tree_np,
-        shardings,
+        lambda x: x.copy() if isinstance(x, jax.Array) else x, tree
     )
 
 
@@ -187,10 +188,16 @@ def fit_surrogate_posterior(
     )(lr=learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(params)
-    # optimizer moments inherit the param shardings via zeros_like; capture
-    # both so best-checkpoint restores keep the exact device layout
-    param_shardings = _sharding_tree(params) if mesh is not None else None
-    opt_shardings = _sharding_tree(opt_state) if mesh is not None else None
+    # best-checkpoint tracking uses on-device copies (_device_copy), which
+    # preserve the step's steady-state device layout (re-feeding that exact
+    # layout avoids jit recompiles on restore). The user-visible contract —
+    # returned params keep the layout the caller passed in (e.g.
+    # param_sharding='replicated') — is re-applied ONCE at the end with a
+    # device-side device_put (no host hop).
+    param_shardings = (
+        jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None), params)
+        if mesh is not None else None
+    )
 
     draw = lambda p_, k_: surrogate.sample_and_log_prob(p_, k_, (sample_size,))
     if remat_sampling is None:
@@ -256,8 +263,8 @@ def fit_surrogate_posterior(
     # a non-finite initial loss must not poison the best-loss tracking
     # (nan comparisons are always False -> no checkpoint would ever be saved)
     best_loss = initial_loss if np.isfinite(initial_loss) else np.inf
-    best_params = _snapshot(params)
-    best_opt_state = _snapshot(opt_state)
+    best_params = _device_copy(params)
+    best_opt_state = _device_copy(opt_state)
     lr = learning_rate
     stall = 0
     converged = False
@@ -288,7 +295,9 @@ def fit_surrogate_posterior(
             )
         jax.block_until_ready(loss)
         epoch_seconds.append(_time.perf_counter() - t_epoch)
-        batch_losses = [float(l) for l in batch_losses]
+        # ONE device fetch for the epoch (per-scalar float() would cost a
+        # host round-trip per batch through the tunnel)
+        batch_losses = [float(l) for l in np.asarray(jnp.stack(batch_losses))]
         epoch_loss = float(np.mean(batch_losses))
         losses.append(epoch_loss)
         say(
@@ -300,16 +309,16 @@ def fit_surrogate_posterior(
             # divergence: restore best and decay hard (reference recovers
             # via its plateau-restore path)
             say(f"Non-finite loss; restoring from a checkpoint - loss: {best_loss}")
-            params = _restore(best_params, param_shardings)
-            opt_state = _restore(best_opt_state, opt_shardings)
+            params = _device_copy(best_params)
+            opt_state = _device_copy(best_opt_state)
             lr *= 0.5
             opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
             continue
 
         if epoch_loss < best_loss:
             best_loss = epoch_loss
-            best_params = _snapshot(params)
-            best_opt_state = _snapshot(opt_state)
+            best_params = _device_copy(params)
+            best_opt_state = _device_copy(opt_state)
             stall = 0
             path = save_ckpt(best_params, epoch)
             if path is not None:
@@ -321,8 +330,8 @@ def fit_surrogate_posterior(
             lr *= decay_rate
             say(f"We are in a loss plateau learning rate: {lr} loss: {epoch_loss}")
             say(f"Restoring from a checkpoint - loss: {best_loss}")
-            params = _restore(best_params, param_shardings)
-            opt_state = _restore(best_opt_state, opt_shardings)
+            params = _device_copy(best_params)
+            opt_state = _device_copy(best_opt_state)
             opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
             stall = 0
 
@@ -341,8 +350,15 @@ def fit_surrogate_posterior(
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
 
-    # hand back the best parameters (matches reference restore-best behavior)
-    params = _restore(best_params, param_shardings)
+    # hand back the best parameters (matches reference restore-best
+    # behavior), re-placed to the caller's input layout
+    if param_shardings is not None:
+        params = jax.tree_util.tree_map(
+            lambda x, sh: jax.device_put(x, sh) if sh is not None else x,
+            best_params, param_shardings,
+        )
+    else:
+        params = _device_copy(best_params)
     return FitResult(
         params=params,
         losses=losses,
