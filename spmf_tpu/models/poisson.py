@@ -145,10 +145,13 @@ class PoissonFactorization(BayesianModel):
         self.gamma_sampler = gamma_sampler
         #: share one horseshoe-auxiliary draw across the S ELBO samples.
         #: Validated on the parity config (docs/aux_broadcast_parity.json):
-        #: unbiased, converges to the same ELBO (40.4994 vs 40.4964), ~2x
-        #: faster steps at D=20k — but S-fold (~8x) aux-gradient variance,
-        #: costing ~1.5x more epochs; enable for wide-D runs where step time
-        #: dominates.
+        #: unbiased, converges to the same ELBO (40.4994 vs 40.4964) — but
+        #: S-fold (~8x) aux-gradient variance, costing ~1.5x more epochs.
+        #: The step-time win shrank as the rest of the step got faster:
+        #: ~2x at the r2 kernels' debut, re-measured at +13% (32.6 vs 28.7
+        #: ms/step, B=8192/D=20k interleaved) on the final grad-fused
+        #: kernels — with the epoch cost, it no longer pays; kept for API
+        #: compatibility and small-batch regimes.
         self.aux_broadcast = aux_broadcast
         self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)
 
