@@ -218,13 +218,19 @@ def _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx, s, in_bounds,
         dll = r * inv
     elif likelihood == "poisson_softplus":
         lam = _softplus_f32(rate)
+        tiny = jnp.finfo(jnp.float32).tiny
         ll = x * jnp.log(lam) - lam - lgx
-        dll = (x / jnp.maximum(lam, jnp.finfo(jnp.float32).tiny) - 1.0) \
-            * jax.nn.sigmoid(rate)
+        # gate the x/lam term exactly like autodiff through max(lam, tiny):
+        # an underflowed lam contributes no gradient (x/tiny would overflow
+        # to inf and poison the matmul row)
+        dll = (jnp.where(lam > tiny, x / jnp.maximum(lam, tiny), 0.0)
+               - 1.0) * jax.nn.sigmoid(rate)
     else:
         ll = x * _safe_log(rate) - rate - lgx
-        rate_safe = jnp.maximum(rate, jnp.finfo(jnp.float32).tiny)
-        dll = x / rate_safe - 1.0
+        tiny = jnp.finfo(jnp.float32).tiny
+        # match autodiff through _safe_log's max(rate, tiny): a zero/floored
+        # rate contributes -1 (the rate term), not x/tiny = inf
+        dll = jnp.where(rate > tiny, x / jnp.maximum(rate, tiny), 0.0) - 1.0
     active = (jnp.isfinite(ll) & (ll > jnp.float32(FLOOR)) & (ll < 0.0)
               & in_bounds)
     drate = jnp.where(active, dll, 0.0)

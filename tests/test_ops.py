@@ -255,3 +255,24 @@ def test_fused_normal_obs_matches_reference_and_grads():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6,
                                        err_msg=f"{name} scale={scale}")
+
+
+def test_fused_gradients_finite_under_rescue():
+    """In rescue mode (non-finite ll entries -> the cnt*m correction), the
+    speculative-gradient backward must stay finite everywhere — a NaN rate
+    in some entries must not poison the training gradient (the reference
+    XLA path deliberately differs here: it autodiffs the clip bound)."""
+    theta, v, phi, x, eta = _inputs(False)
+    phi = phi.at[:, :, :5].set(0.0)
+    theta = theta.at[:, :10, :].set(0.0)  # rate=0 -> ll = nan/-inf entries
+
+    g = jax.grad(
+        lambda t, vv, p: jnp.sum(
+            fused_poisson_loglik(t, vv, p, x, eta, False, True)
+        ),
+        argnums=(0, 1, 2),
+    )(theta, v, phi)
+    for a, name in zip(g, "theta v phi".split()):
+        a = np.asarray(a)
+        assert np.isfinite(a).all(), name
+        assert np.abs(a).max() > 0, name
