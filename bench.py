@@ -151,11 +151,24 @@ def main():
         vs = tpu_rows / baseline
     except Exception:
         baseline, vs = None, None
+    # companion metrics named by BASELINE.md (VERDICT r2 #8): steps/sec is
+    # the same measurement in the engine's unit; epochs-to-ELBO-parity is
+    # the recorded convergence measurement (docs/epochs_to_parity.json —
+    # epochs for the noise config to cross the reference's converged 40.52)
+    epochs_to_parity = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "epochs_to_parity.json")) as f:
+            epochs_to_parity = json.load(f)["default_x0.99"]["epochs_to_40.52"]
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "elbo_train_rows_per_sec_per_chip",
         "value": round(tpu_rows, 1),
         "unit": f"rows/sec (D={D}, P={P}, batch={best_batch}, samples={S}, f32, {path})",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "elbo_steps_per_sec": round(tpu_rows / best_batch, 2),
+        "epochs_to_parity": epochs_to_parity,
     }))
 
 

@@ -15,6 +15,7 @@ import numpy as np
 __all__ = [
     "ArrayDataset",
     "DeviceArrayDataset",
+    "DeviceSparseCounts",
     "as_data_factory",
     "load_csv_counts",
     "SparseCounts",
@@ -207,4 +208,4 @@ def load_csv_counts(path: str, dtype=np.float64) -> np.ndarray:
     return load_csv(path, dtype=dtype)
 
 
-from spmf_tpu.data.sparse import SparseCounts  # noqa: E402
+from spmf_tpu.data.sparse import DeviceSparseCounts, SparseCounts  # noqa: E402

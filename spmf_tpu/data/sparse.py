@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["SparseCounts"]
+__all__ = ["DeviceSparseCounts", "SparseCounts"]
 
 
 class SparseCounts:
@@ -152,6 +152,19 @@ class SparseCounts:
         self._max_nnz = max_nnz
         return self
 
+    def to_device(self, max_nnz=None, dtype=None):
+        """Move the whole CSR structure into device HBM
+        (DeviceSparseCounts): per-batch COO assembly becomes one jitted
+        on-device gather, eliminating the host-side repeat/cumsum/copy
+        that serialized with the device step on a 1-core host (the r2
+        sparse-path bottleneck). Preserves shuffle/batch settings."""
+        return DeviceSparseCounts(
+            self, batch_size=self._batch_size, shuffle=self._shuffle,
+            seed=self._seed or 0, drop_remainder=self._drop_remainder,
+            max_nnz=max_nnz if max_nnz is not None else self._max_nnz,
+            dtype=dtype,
+        )
+
     def _coo_pad_size(self, bs):
         """Static padding: batch-mean nnz + 8 sigma + one max row, rounded
         up to 1024 (overflow falls back to the next multiple — rare, costs
@@ -200,3 +213,145 @@ class SparseCounts:
             for k, v in self.extras.items():
                 batch[k] = np.asarray(v)[sl]
             yield batch
+
+
+class DeviceSparseCounts:
+    """Device-resident CSR counts: the full nnz triplet arrays live in HBM
+    once, and each batch's padded COO triplets are assembled by ONE jitted
+    on-device gather — the sparse counterpart of DeviceArrayDataset.
+
+    Batch assembly is O(pad): for output slot j, the owning batch-local row
+    is ``searchsorted(cumsum(counts), j)`` and the CSR position is
+    ``indptr[row_ids[r]] + (j - run_start(r))`` — all static shapes, no
+    host work beyond the per-epoch numpy shuffle of row ids. Because the
+    assemble dispatch is asynchronous, it pipelines behind the previous
+    train step for free.
+
+    Padding overflow (batch nnz > pad) cannot be checked per batch without
+    a host sync, so entries would be silently truncated; the pad includes
+    +8 sigma + one max row (p(overflow) ~ 1e-15 per batch for shuffled
+    rows) and every yielded batch carries its on-device 'coo_nnz' total —
+    ``check_overflow()`` (called automatically at each epoch end) raises if
+    any batch overflowed.
+    """
+
+    def __init__(self, sparse: SparseCounts, batch_size=None, shuffle=False,
+                 seed=0, drop_remainder=False, max_nnz=None, dtype=None):
+        import jax.numpy as jnp
+
+        self._host = sparse
+        self.shape = sparse.shape
+        self.num_rows = sparse.num_rows
+        self.count_key = sparse.count_key
+        if dtype is None:
+            dtype = jnp.float32
+        self.dtype = dtype
+        self.indptr = jnp.asarray(sparse.indptr, jnp.int32)
+        self.indices = jnp.asarray(sparse.indices, jnp.int32)
+        self.data = jnp.asarray(sparse.data, dtype)
+        self.extras = {k: jnp.asarray(v) for k, v in sparse.extras.items()}
+        self._batch_size = batch_size
+        self._shuffle = shuffle
+        self._seed = seed
+        self._drop_remainder = drop_remainder
+        self._max_nnz = max_nnz
+        self._epoch = 0
+        self._pending_nnz = []
+
+    def shuffle(self, buffer_size=None, seed=None):
+        self._shuffle = True
+        if seed is not None:
+            self._seed = seed
+        return self
+
+    def batch(self, batch_size, drop_remainder=False):
+        self._batch_size = int(batch_size)
+        self._drop_remainder = drop_remainder
+        return self
+
+    def prefetch(self, n=None):
+        return self
+
+    def col_stats(self):
+        return self._host.col_stats()
+
+    def row_sums(self):
+        return self._host.row_sums()
+
+    @property
+    def density(self):
+        return self._host.density
+
+    def _pad(self, bs):
+        if self._max_nnz is None:
+            self._max_nnz = self._host._coo_pad_size(bs)
+        return int(self._max_nnz)
+
+    def _assemble_fn(self, pad, bs):
+        import jax
+        import jax.numpy as jnp
+
+        indptr, cols, vals = self.indptr, self.indices, self.data
+
+        @jax.jit
+        def assemble(row_ids):
+            lo = indptr[row_ids]                       # (B,)
+            counts = indptr[row_ids + 1] - lo
+            cum = jnp.cumsum(counts)
+            total = cum[-1]
+            j = jnp.arange(pad, dtype=jnp.int32)
+            r = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+            rc = jnp.minimum(r, bs - 1)
+            pos = lo[rc] + (j - (cum[rc] - counts[rc]))
+            valid = j < total
+            pos = jnp.where(valid, pos, 0)
+            return {
+                "coo_rows": jnp.where(valid, rc, 0),
+                "coo_cols": jnp.where(valid, cols[pos], 0),
+                "coo_vals": jnp.where(valid, vals[pos],
+                                      jnp.zeros((), vals.dtype)),
+                "coo_nnz": total,
+            }
+
+        return assemble
+
+    def check_overflow(self):
+        """One host fetch for all accumulated per-batch nnz totals; raises
+        if any batch exceeded the static pad (silently-truncated energy)."""
+        if not self._pending_nnz:
+            return
+        import jax.numpy as jnp
+
+        totals = np.asarray(jnp.stack(self._pending_nnz))
+        self._pending_nnz = []
+        if (totals > self._max_nnz).any():
+            raise ValueError(
+                f"device COO batch overflowed the static pad "
+                f"(max nnz {int(totals.max())} > pad {self._max_nnz}); "
+                "pass a larger max_nnz to to_device()"
+            )
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        bs = self._batch_size or self.num_rows
+        n = self.num_rows
+        # remainder batches would need their own row-count compile; always
+        # drop the remainder (like the dp-sharded dense path)
+        stop = n - (n % bs)
+        pad = self._pad(bs)
+        assemble = self._assemble_fn(pad, bs)
+        idx = np.arange(n)
+        if self._shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            self._epoch += 1
+            rng.shuffle(idx)
+        for start in range(0, stop, bs):
+            sl = idx[start : start + bs]
+            batch = dict(assemble(jnp.asarray(sl, jnp.int32)))
+            self._pending_nnz.append(batch.pop("coo_nnz"))
+            batch["indices"] = sl
+            for k, v in self.extras.items():
+                batch[k] = v[jnp.asarray(sl)]
+            yield batch
+        self.check_overflow()

@@ -153,7 +153,8 @@ class BayesianModel:
         engine_kwargs = {
             k: kwargs[k]
             for k in ("profile_dir", "remat_sampling", "convergence_window",
-                      "opt_state", "param_sharding", "decay_schedule")
+                      "opt_state", "param_sharding", "decay_schedule",
+                      "prefetch")
             if k in kwargs
         }
         result = fit_surrogate_posterior(

@@ -14,8 +14,11 @@ per-column-block likelihood dispatch:
 Because Bernoulli/Normal columns need signed natural parameters, v and w get
 real-valued Normal priors with Identity bijectors (as in the Bernoulli
 reference model, bernoulli.py:187-217) and Poisson columns are kept positive
-through a softplus link. Column types are static, so the dispatch compiles
-to three masked fused kernels — no gather/scatter.
+through a softplus link. Column types are static and ride a (1, D) code lane
+into ONE fused kernel pass (ops/fused_poisson likelihood=('mixed', s)):
+a vectorized per-column select, no gather/scatter, and the lane shards over
+'fp' like eta — so the mixed family composes with dp x fp meshes through
+the same sharded kernel as the single families.
 """
 from __future__ import annotations
 
@@ -56,50 +59,25 @@ class MixedFactorization(BernoulliFactorization):
         super().__init__(*args, **kwargs)
 
     def _fused_kind(self):
-        # per-column-block dispatch: _fused_x_part composes one fused
-        # stats-kernel call per column type and combines the scalar
-        # (sums, counts, global-min) outputs exactly — the clip
-        # decomposition (ops/fused_poisson.py docstring) is partition-
-        # independent. Single-device for now.
-        return "mixed" if self.mesh is None else None
+        # ('mixed', obs_scale) is a first-class kernel likelihood: the
+        # per-column type codes ride a (1, D) lane (ops/fused_poisson
+        # CODE_*) that shards over 'fp' exactly like eta, so the mixed
+        # family composes with dp x fp meshes through the SAME
+        # fused_poisson_loglik(_sharded) path as the single families —
+        # one kernel pass, one matmul, a vectorized per-column select.
+        return ("mixed", float(self.obs_scale))
 
-    _KERNEL_KINDS = {"poisson": "poisson_softplus", "bernoulli": "bernoulli"}
-
-    def _fused_x_part(self, theta, B, phi, x):
-        import jax.numpy as jnp
-
+    def _fused_codes(self):
         from spmf_tpu.ops.fused_poisson import (
-            _floor_min_val,
-            _fused_stats,
-            _prep,
+            CODE_BERNOULLI,
+            CODE_NORMAL,
+            CODE_POISSON,
         )
 
-        S = theta.shape[0]
-        ssum = jnp.zeros((S,), jnp.float32)
-        cnt = jnp.zeros((S,), jnp.int32)
-        gmin = jnp.zeros((1,), jnp.float32)
-        eta = jnp.asarray(self.eta_i, self.dtype)
-        for t in _TYPES:
-            mask = self._masks[t][0]
-            if not mask.any():
-                continue
-            idx = jnp.asarray(np.where(mask)[0])
-            kind = self._KERNEL_KINDS.get(t, ("normal", float(self.obs_scale)))
-            args = _prep(
-                theta,
-                B[:, :, idx],
-                phi[:, :, idx],
-                x[:, idx],
-                eta[:, idx] if eta.ndim >= 2 else eta,
-            )
-            s_t, c_t, m_t = _fused_stats(*args, self.log_transform,
-                                         self._fused_interpret, kind)
-            ssum = ssum + s_t
-            cnt = cnt + c_t
-            gmin = jnp.minimum(gmin, m_t)
-        sg = jax.lax.stop_gradient
-        m = _floor_min_val(sg(gmin) - 10.0)
-        return ssum + sg(cnt).astype(jnp.float32) * m[0]
+        code_of = {"poisson": CODE_POISSON, "bernoulli": CODE_BERNOULLI,
+                   "normal": CODE_NORMAL}
+        return np.asarray([[code_of[t] for t in self.column_types]],
+                          np.float32)
 
     def log_likelihood_components(self, s, u, v, w, data, **kwargs):
         x = jnp.asarray(self._counts(data), self.dtype)

@@ -51,6 +51,12 @@ class PoissonFactorization(BayesianModel):
         is enforced structurally in _can_fuse via the defining classes)."""
         return "poisson"
 
+    def _fused_codes(self):
+        """Per-column type-code lane for the ('mixed', s) kernel
+        likelihood, or None for single-family models
+        (MixedFactorization overrides)."""
+        return None
+
     def encoder_function(self, x):
         """g(x) (reference poisson.py:34-43)."""
         x = jnp.asarray(x, self.dtype)
@@ -154,6 +160,8 @@ class PoissonFactorization(BayesianModel):
         #: compatibility and small-batch regimes.
         self.aux_broadcast = aux_broadcast
         self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)
+        self.fusion_inactive_reason = None
+        self._fusion_warned = False
 
         if data is not None:
             self.set_data(data)
@@ -723,22 +731,23 @@ class PoissonFactorization(BayesianModel):
 
     def _fused_x_part(self, theta, B, phi, x):
         """Fused-kernel 'x' energy part, (S,) f32. theta (S,B,K),
-        B (S,K,D), phi (S,1,D), x (B,D). Overridden by MixedFactorization
-        (per-column-block kernel calls + exact scalar combination)."""
+        B (S,K,D), phi (S,1,D), x (B,D). The mixed family rides the same
+        kernels via its per-column ``codes`` lane (_fused_codes)."""
         from spmf_tpu.ops import (
             fused_poisson_loglik,
             fused_poisson_loglik_sharded,
         )
 
         kind = self._fused_kind()
+        codes = self._fused_codes()
         if self.mesh is None:
             return fused_poisson_loglik(
                 theta, B, phi, x, self.eta_i, self.log_transform,
-                self._fused_interpret, kind,
+                self._fused_interpret, kind, codes,
             )
         return fused_poisson_loglik_sharded(
             theta, B, phi, x, self.eta_i, self.mesh, self.log_transform,
-            self._fused_interpret, likelihood=kind,
+            self._fused_interpret, likelihood=kind, codes=codes,
         )
 
     def _can_fuse(self, batch_shape=None):
@@ -746,11 +755,48 @@ class PoissonFactorization(BayesianModel):
         likelihood/encode overrides and no user-supplied decoder. Under a
         mesh, ``fused_poisson_loglik_sharded`` composes the kernel with the
         dp x fp layout, provided shard_map can split the batch evenly
-        (``batch_shape``, when given, is the static (B, D) of the counts)."""
+        (``batch_shape``, when given, is the static (B, D) of the counts).
+
+        Rejections are observable (VERDICT r2 #5 — losing the ~3x kernel
+        because B % dp != 0 must not be silent): the reason lands in
+        ``self.fusion_inactive_reason`` and, when the user asked for fusion
+        (``fused_likelihood=True``), a one-time UserWarning fires."""
+        ok, reason = self._fusion_check(batch_shape)
+        self.fusion_inactive_reason = reason
+        if not ok and self.fused_likelihood and not getattr(
+            self, "_fusion_warned", False
+        ):
+            import warnings
+
+            self._fusion_warned = True
+            warnings.warn(
+                f"fused likelihood disabled, falling back to the XLA path "
+                f"(~3x slower on TPU): {reason}",
+                UserWarning,
+                stacklevel=3,
+            )
+        return ok
+
+    @property
+    def fusion_active(self):
+        """True when the energy will take the fused Pallas kernel path (as
+        of the last ``_can_fuse`` evaluation; see fusion_inactive_reason)."""
+        return self._can_fuse()
+
+    def _fusion_check(self, batch_shape=None):
+        """(ok, reason) for the fused-kernel eligibility rules."""
+        if not self.fused_likelihood:
+            return False, "fused_likelihood=False (CPU default)"
+        if self._fused_kind() is None:
+            return False, "model family has no fused-kernel likelihood"
         if batch_shape is not None and self.mesh is not None:
             for dim, ax in zip(batch_shape[-2:], ("dp", "fp")):
                 if ax in self.mesh.axis_names and dim % self.mesh.shape[ax]:
-                    return False
+                    return False, (
+                        f"batch dim {dim} does not divide mesh axis "
+                        f"{ax!r} (size {self.mesh.shape[ax]}) — pad the "
+                        "batch/feature dim to a multiple"
+                    )
         mro = type(self).__mro__
 
         def _def_depth(name):
@@ -760,23 +806,31 @@ class PoissonFactorization(BayesianModel):
             return len(mro)
 
         kind_depth = _def_depth("_fused_kind")
-        return (
-            self.fused_likelihood
-            and self._fused_kind() is not None
-            # the likelihood math is baked into the kernel per kind: the
-            # class that (re)defines _fused_kind vouches for whatever
-            # observation machinery is in effect AT OR ABOVE it in the
-            # MRO. A subclass overriding the observation distribution or
-            # the likelihood assembly in a MORE derived class without
-            # re-owning _fused_kind silently loses fusion instead of
-            # computing a wrong likelihood.
-            and _def_depth("_observation_distribution") >= kind_depth
-            and _def_depth("log_likelihood_components") >= kind_depth
-            # the decode link is baked into the kernel, so both instance- and
-            # class-level decoder overrides must disable fusion
-            and "decoder_function" not in self.__dict__
-            and type(self).decoder_function is PoissonFactorization.decoder_function
-        )
+        # the likelihood math is baked into the kernel per kind: the class
+        # that (re)defines _fused_kind vouches for whatever observation
+        # machinery is in effect AT OR ABOVE it in the MRO. A subclass
+        # overriding the observation distribution or the likelihood
+        # assembly in a MORE derived class without re-owning _fused_kind
+        # loses fusion (with a warning) instead of computing a wrong
+        # likelihood.
+        if _def_depth("_observation_distribution") < kind_depth:
+            return False, (
+                "subclass overrides _observation_distribution without "
+                "re-owning _fused_kind"
+            )
+        if _def_depth("log_likelihood_components") < kind_depth:
+            return False, (
+                "subclass overrides log_likelihood_components without "
+                "re-owning _fused_kind"
+            )
+        # the decode link is baked into the kernel, so both instance- and
+        # class-level decoder overrides must disable fusion
+        if "decoder_function" in self.__dict__ or (
+            type(self).decoder_function
+            is not PoissonFactorization.decoder_function
+        ):
+            return False, "custom decoder_function overrides the decode link"
+        return True, None
 
     def unormalized_log_prob(self, data=None, prior_weight=1.0, **params):
         # NOTE: the reference hard-codes prior_weight=1. when forwarding to
@@ -812,6 +866,7 @@ class PoissonFactorization(BayesianModel):
                 self.log_transform,
                 self._fused_interpret,
                 likelihood=self._fused_kind(),
+                codes=self._fused_codes(),
             ).astype(self.dtype)
             return out[0] if squeeze else out
         ll = self.log_likelihood_components(data=batch, **samples)["log_likelihood"]

@@ -29,9 +29,11 @@ tests/test_fused_ig.py). Parameter-sized transcendentals that Mosaic lacks
 
 Semantics match SurrogatePosterior._sample_igs with gamma_sampler='fast'
 exactly, except the random stream (hardware PRNG vs threefry) and the
-f32-only dtype. Single-device only for now: under a mesh the raw parameter
-slices carry fp shardings and the flat concatenation would force a gather —
-the model wiring gates on `mesh is None`.
+f32-only dtype. Mesh composition (r2): replicated params (dp-only meshes)
+run the kernel replicated; fp-sharded params run it per-shard under
+shard_map with shard-distinct seeds — see
+SurrogatePosterior._sample_igs_fused_sharded (vi/surrogates.py) and
+tests/test_sharding.py::test_fused_ig_sampler_sharded_assembly_exact.
 """
 from __future__ import annotations
 

@@ -80,6 +80,40 @@ __all__ = [
 TB, TD = 128, 1024  # row / feature tile sizes (f32 min tile is (8,128))
 FLOOR = -1e27       # static clip-bound floor (see _floor_min_val)
 
+#: per-column type codes for the ('mixed', obs_scale) likelihood — the
+#: MixedFactorization decoder (models/mixed.py) as ONE kernel pass: a
+#: (1, D) float lane selects the per-column log-density, so the mixed
+#: model shards over dp x fp exactly like the single-family kernels
+#: (codes partition with the feature axis, like eta).
+CODE_POISSON, CODE_BERNOULLI, CODE_NORMAL = 0.0, 1.0, 2.0
+
+
+def _check_likelihood(likelihood):
+    """Validate the static likelihood selector. An unrecognized value used
+    to fall through to the Poisson branch silently (r2 advisor finding:
+    MixedFactorization WAIC returned Poisson log-lik — NaN on negative
+    rates — for every column); now it is a hard error."""
+    if likelihood in ("poisson", "bernoulli", "poisson_softplus"):
+        return
+    if (
+        isinstance(likelihood, tuple)
+        and len(likelihood) == 2
+        and likelihood[0] in ("normal", "mixed")
+        and isinstance(likelihood[1], (int, float))
+    ):
+        return
+    raise ValueError(
+        f"unknown likelihood {likelihood!r}: expected 'poisson', "
+        "'bernoulli', 'poisson_softplus', ('normal', obs_scale) or "
+        "('mixed', obs_scale)"
+    )
+
+
+def _needs_lgamma(likelihood):
+    return likelihood in ("poisson", "poisson_softplus") or (
+        isinstance(likelihood, tuple) and likelihood[0] == "mixed"
+    )
+
 
 def _lgamma_xp1(x):
     """lgamma(x+1) for x >= 0, Mosaic-safe (no lgamma primitive): shift the
@@ -170,7 +204,7 @@ def bernoulli_loglik_reference(theta, v, phi, x, eta, log_transform=False):
 
 
 def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform,
-             likelihood="poisson"):
+             likelihood="poisson", codes=None):
     tv = jnp.dot(theta_ref[s], v_ref[s], preferred_element_type=jnp.float32)
     if log_transform:
         rate = jnp.exp(tv * eta) - 1.0 + phi_ref[s]
@@ -180,7 +214,7 @@ def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform,
         # rate plays the role of logits (reference bernoulli.py:148):
         # ll = x*logits - softplus(logits), logit-space stable
         return x * rate - _softplus_f32(rate)
-    if isinstance(likelihood, tuple):  # ("normal", obs_scale)
+    if isinstance(likelihood, tuple) and likelihood[0] == "normal":
         inv = 1.0 / likelihood[1]
         r = (x - rate) * inv
         # log(obs_scale) + 0.5*log(2*pi)
@@ -191,11 +225,27 @@ def _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s, log_transform,
         # lam = softplus(rate) (models/mixed.py)
         lam = _softplus_f32(rate)
         return x * jnp.log(lam) - lam - lgx
+    if isinstance(likelihood, tuple) and likelihood[0] == "mixed":
+        # per-column select over the three families (models/mixed.py):
+        # evaluate each density on the full tile and pick by the (1, TD)
+        # codes lane — the matmul (the FLOP cost) happens once, and the
+        # static column types become a vectorized select, not a gather
+        lam = _softplus_f32(rate)
+        ll_p = x * jnp.log(lam) - lam - lgx
+        ll_b = x * rate - _softplus_f32(rate)
+        inv = 1.0 / likelihood[1]
+        r = (x - rate) * inv
+        c = float(np.log(likelihood[1]) + 0.9189385332046727)
+        ll_n = -0.5 * r * r - c
+        return jnp.where(
+            codes == CODE_BERNOULLI, ll_b,
+            jnp.where(codes == CODE_NORMAL, ll_n, ll_p),
+        )
     return x * _safe_log(rate) - rate - lgx
 
 
 def _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx, s, in_bounds,
-                   log_transform, likelihood):
+                   log_transform, likelihood, codes=None):
     """ll plus the UNIT-cotangent pathwise derivatives d(sum ll)/d(tv) and
     d(sum ll)/d(rate) for one (row-tile, col-tile, sample). Operands must
     already have their out-of-bounds padding zeroed (NaN leaks through
@@ -210,7 +260,7 @@ def _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx, s, in_bounds,
     if likelihood == "bernoulli":
         ll = x * rate - _softplus_f32(rate)
         dll = x - jax.nn.sigmoid(rate)
-    elif isinstance(likelihood, tuple):  # ("normal", obs_scale)
+    elif isinstance(likelihood, tuple) and likelihood[0] == "normal":
         inv = 1.0 / likelihood[1]
         r = (x - rate) * inv
         c = float(np.log(likelihood[1]) + 0.9189385332046727)
@@ -225,6 +275,23 @@ def _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx, s, in_bounds,
         # to inf and poison the matmul row)
         dll = (jnp.where(lam > tiny, x / jnp.maximum(lam, tiny), 0.0)
                - 1.0) * jax.nn.sigmoid(rate)
+    elif isinstance(likelihood, tuple) and likelihood[0] == "mixed":
+        tiny = jnp.finfo(jnp.float32).tiny
+        lam = _softplus_f32(rate)
+        ll_p = x * jnp.log(lam) - lam - lgx
+        dll_p = (jnp.where(lam > tiny, x / jnp.maximum(lam, tiny), 0.0)
+                 - 1.0) * jax.nn.sigmoid(rate)
+        ll_b = x * rate - _softplus_f32(rate)
+        dll_b = x - jax.nn.sigmoid(rate)
+        inv = 1.0 / likelihood[1]
+        r = (x - rate) * inv
+        c = float(np.log(likelihood[1]) + 0.9189385332046727)
+        ll_n = -0.5 * r * r - c
+        dll_n = r * inv
+        is_b = codes == CODE_BERNOULLI
+        is_n = codes == CODE_NORMAL
+        ll = jnp.where(is_b, ll_b, jnp.where(is_n, ll_n, ll_p))
+        dll = jnp.where(is_b, dll_b, jnp.where(is_n, dll_n, dll_p))
     else:
         ll = x * _safe_log(rate) - rate - lgx
         tiny = jnp.finfo(jnp.float32).tiny
@@ -244,7 +311,7 @@ def _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx, s, in_bounds,
     return ll, dtv, drate
 
 
-def _stats_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
+def _stats_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, codes_ref,
                        sum_ref, cnt_ref, min_ref,
                        dtheta_p_ref, dv_ref, dphi_ref,
                        *, B, D, S, log_transform, likelihood):
@@ -263,10 +330,8 @@ def _stats_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
     j = pl.program_id(0)
     i = pl.program_id(1)
     K = theta_ref.shape[-1]
-    x, eta = x_ref[:], eta_ref[:]
-    lgx = (_lgamma_xp1(x)
-           if likelihood in ("poisson", "poisson_softplus")
-           else 0.0)
+    x, eta, codes = x_ref[:], eta_ref[:], codes_ref[:]
+    lgx = _lgamma_xp1(x) if _needs_lgamma(likelihood) else 0.0
     in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
 
     @pl.when((i == 0) & (j == 0))
@@ -281,7 +346,7 @@ def _stats_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
         v_s = jnp.where(col_ok, v_ref[s], 0.0)
         ll, dtv, drate = _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx,
                                         s, in_bounds, log_transform,
-                                        likelihood)
+                                        likelihood, codes)
         finite = jnp.isfinite(ll)
         min_ref[0] = jnp.minimum(
             min_ref[0], jnp.min(jnp.where(finite & in_bounds, ll, 0.0))
@@ -322,6 +387,8 @@ def _data_specs(S, K):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TD), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
     ]
 
 
@@ -333,23 +400,24 @@ def _cost(S, B, K, D):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused_stats(theta, v, phi, x, eta, log_transform, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_stats(theta, v, phi, x, eta, codes, log_transform, interpret,
                  likelihood="poisson"):
     """(sums (S,) f32, counts (S,) i32, global finite-min (1,) f32) of the
-    clip decomposition (module docstring). Inputs must be f32-prepped.
-    The forward SPECULATIVELY computes the three pathwise gradients at
-    unit cotangent in the same tile pass (_stats_grad_kernel) and saves
-    them as residuals (~(S,B,K)+(S,K,D), tiny next to x); the backward is
-    a per-sample scalar rescale — gradient of the sums only (the counts
-    are piecewise constant and the clip bound is a constant to autodiff
-    by design)."""
-    out, _ = _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
-                        likelihood)
+    clip decomposition (module docstring). Inputs must be f32-prepped
+    (``codes`` is the per-column type lane for the mixed likelihood,
+    zeros otherwise). The forward SPECULATIVELY computes the three
+    pathwise gradients at unit cotangent in the same tile pass
+    (_stats_grad_kernel) and saves them as residuals (~(S,B,K)+(S,K,D),
+    tiny next to x); the backward is a per-sample scalar rescale —
+    gradient of the sums only (the counts are piecewise constant and the
+    clip bound is a constant to autodiff by design)."""
+    out, _ = _stats_fwd(theta, v, phi, x, eta, codes, log_transform,
+                        interpret, likelihood)
     return out
 
 
-def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
+def _stats_fwd(theta, v, phi, x, eta, codes, log_transform, interpret,
                likelihood="poisson"):
     S, B, K = theta.shape
     D = x.shape[-1]
@@ -368,6 +436,8 @@ def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
             pl.BlockSpec((S, 1, TD), lambda j, i: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, TD), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TD), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TD), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -396,7 +466,7 @@ def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
                             + B * D) * 4,
             transcendentals=2 * S * B * D,
         ),
-    )(theta, v, phi, x, eta)
+    )(theta, v, phi, x, eta, codes)
     dtheta = jnp.sum(dtheta_p, axis=0)[:, :B, :]
     return (ssum, cnt, gmin), (dtheta, dv[..., :D], dphi[..., :D])
 
@@ -404,7 +474,7 @@ def _stats_fwd(theta, v, phi, x, eta, log_transform, interpret,
 def _stats_bwd(log_transform, interpret, likelihood, res, cot):
     dtheta_u, dv_u, dphi_u = res
     g = jnp.asarray(cot[0], jnp.float32)[:, None, None]  # (S,1,1)
-    return dtheta_u * g, dv_u * g, dphi_u * g, None, None
+    return dtheta_u * g, dv_u * g, dphi_u * g, None, None, None
 
 
 _fused_stats.defvjp(_stats_fwd, _stats_bwd)
@@ -419,7 +489,7 @@ def _masks(i, j, B, D, K):
     return in_bounds, row_ok, col_ok
 
 
-def _prep(theta, v, phi, x, eta):
+def _prep(theta, v, phi, x, eta, codes=None):
     f32 = jnp.float32
     theta = jnp.asarray(theta, f32)
     v = jnp.asarray(v, f32)
@@ -427,22 +497,29 @@ def _prep(theta, v, phi, x, eta):
     x = jnp.asarray(x, f32)
     D = x.shape[-1]
     eta = jnp.broadcast_to(jnp.asarray(eta, f32), (1, D))
-    return theta, v, phi, x, eta
+    if codes is None:
+        codes = jnp.zeros((1, D), f32)
+    else:
+        codes = jnp.broadcast_to(jnp.asarray(codes, f32), (1, D))
+    return theta, v, phi, x, eta, codes
 
 
 def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
-                         interpret=False, likelihood="poisson"):
+                         interpret=False, likelihood="poisson", codes=None):
     """Per-sample clipped log-likelihood sums, shape (S,).
 
     Args: theta (S,B,K), v (S,K,D), phi (S,1,D), x (B,D), eta (1,D) or
     scalar broadcastable. ``likelihood='poisson'`` (reference
-    poisson.py:177-183) or ``'bernoulli'`` (logits decode, reference
-    bernoulli.py:148). Single-device path; for mesh execution use
-    ``fused_poisson_loglik_sharded``.
+    poisson.py:177-183), ``'bernoulli'`` (logits decode, reference
+    bernoulli.py:148), ``('normal', s)``, ``'poisson_softplus'``, or
+    ``('mixed', s)`` with a (1, D) per-column ``codes`` lane
+    (CODE_POISSON/CODE_BERNOULLI/CODE_NORMAL). Single-device path; for
+    mesh execution use ``fused_poisson_loglik_sharded``.
     """
-    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
-    ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, log_transform,
-                                   interpret, likelihood)
+    _check_likelihood(likelihood)
+    theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
+    ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, codes,
+                                   log_transform, interpret, likelihood)
     # the clip bound is a constant to the backward (module docstring); the
     # counts are piecewise constant — the scalar combine carries no gradient
     sg = jax.lax.stop_gradient
@@ -453,7 +530,7 @@ def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
 def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
                                  log_transform=False, interpret=False,
                                  data_axis="dp", feature_axis="fp",
-                                 likelihood="poisson"):
+                                 likelihood="poisson", codes=None):
     """Mesh-composed fused likelihood: ONE per-shard Pallas stats pass,
     then ``lax.pmin``/``lax.psum`` on the three scalar outputs and a scalar
     combine — the exact global-clip semantics of the single-device kernel,
@@ -461,12 +538,13 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     poisson.py:606-619).
 
     Rows of theta/x shard over ``data_axis``; feature columns of
-    v/phi/x/eta over ``feature_axis`` (either axis may be absent). The
-    (S,) output is fully replicated.
+    v/phi/x/eta (and the mixed ``codes`` lane) over ``feature_axis``
+    (either axis may be absent). The (S,) output is fully replicated.
     """
     from jax.sharding import PartitionSpec as P
 
-    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
+    _check_likelihood(likelihood)
+    theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
     dp = data_axis if data_axis in mesh.axis_names and mesh.shape[data_axis] > 1 else None
     fp = (feature_axis
           if feature_axis in mesh.axis_names and mesh.shape[feature_axis] > 1
@@ -474,10 +552,10 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     axes = tuple(a for a in (dp, fp) if a is not None)
     if not axes:
         return fused_poisson_loglik(theta, v, phi, x, eta, log_transform,
-                                    interpret, likelihood)
+                                    interpret, likelihood, codes)
 
-    def body(theta, v, phi, x, eta):
-        ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta,
+    def body(theta, v, phi, x, eta, codes):
+        ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, codes,
                                        log_transform, interpret, likelihood)
         sg = jax.lax.stop_gradient
         gmin = jax.lax.pmin(sg(gmin), axes)
@@ -496,10 +574,11 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
             P(None, None, fp),   # phi   (S, 1, D)
             P(dp, fp),           # x     (B, D)
             P(None, fp),         # eta   (1, D)
+            P(None, fp),         # codes (1, D)
         ),
         out_specs=P(),
         check_vma=False,
-    )(theta, v, phi, x, eta)
+    )(theta, v, phi, x, eta, codes)
 
 
 # --------------------------------------------------------------------------
@@ -509,15 +588,14 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
 # WAIC streams over posterior samples, it never differentiates.
 
 
-def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, out_ref,
-                   *, B, D, S, log_transform, likelihood):
+def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, codes_ref,
+                   out_ref, *, B, D, S, log_transform, likelihood):
     i = pl.program_id(0)
     j = pl.program_id(1)
     x = x_ref[:]
     eta = eta_ref[:]
-    lgx = (_lgamma_xp1(x)
-           if likelihood in ("poisson", "poisson_softplus")
-           else 0.0)
+    codes = codes_ref[:]
+    lgx = _lgamma_xp1(x) if _needs_lgamma(likelihood) else 0.0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (TB, TD), 1) + j * TD
     col_ok = col_ids < D  # out-of-bounds rows are sliced off outside
 
@@ -527,19 +605,21 @@ def _row_ll_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, out_ref,
 
     for s in range(S):
         ll = _tile_ll(theta_ref, v_ref, phi_ref, x, eta, lgx, s,
-                      log_transform, likelihood)
+                      log_transform, likelihood, codes)
         out_ref[s] = out_ref[s] + jnp.sum(
             jnp.where(col_ok, ll, 0.0), axis=-1
         )
 
 
 def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
-                             interpret=False, likelihood="poisson"):
+                             interpret=False, likelihood="poisson",
+                             codes=None):
     """Per-row raw log-likelihood sums, shape (S, B) f32 — the WAIC
     pointwise unit — computed tile-by-tile without materializing (S,B,D).
     Keep S small (<= ~16): theta/v blocks carry the full sample dim in
     VMEM; stream larger posterior-sample counts in chunks (vi/waic.py)."""
-    theta, v, phi, x, eta = _prep(theta, v, phi, x, eta)
+    _check_likelihood(likelihood)
+    theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
     S, B, K = theta.shape
     D = x.shape[-1]
     grid = (pl.cdiv(B, TB), pl.cdiv(D, TD))  # cols inner: out stays resident
@@ -554,7 +634,7 @@ def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
         out_shape=jax.ShapeDtypeStruct((S, grid[0] * TB), jnp.float32),
         interpret=interpret,
         cost_estimate=_cost(S, B, K, D),
-    )(theta, v, phi, x, eta)
+    )(theta, v, phi, x, eta, codes)
     return out[:, :B]
 
 

@@ -13,7 +13,8 @@ streaming moments, so WAIC at production scale (D=20k, 100 samples) never
 holds more than one (chunk, B)-shaped ll block — composing with the fused
 per-row Pallas kernel (ops/fused_poisson.fused_poisson_row_loglik), which
 itself never materializes (S, B, D). With ``sample_chunk=num_samples`` the
-single-chunk path is bit-identical to the original unchunked evaluation.
+single chunk consumes the per-batch key directly, so the draws (and the
+result) are bit-identical to an unchunked evaluation.
 """
 from __future__ import annotations
 
@@ -79,7 +80,12 @@ def waic(
     for batch in batched_data_factory():
         key, k = jax.random.split(key)
         batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-        chunk_keys = jax.random.split(k, n_chunks + (1 if residual else 0))
+        if n_chunks == 1 and not residual:
+            # single chunk: use the batch key itself (bit-identical to an
+            # unchunked evaluation — r2 advisor finding)
+            chunk_keys = [k]
+        else:
+            chunk_keys = jax.random.split(k, n_chunks + (1 if residual else 0))
 
         def chunks():
             for c in range(n_chunks):

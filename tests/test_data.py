@@ -248,3 +248,73 @@ def test_coo_energy_matches_dense_energy_log_transform():
     d = m.unormalized_log_prob(data=dense_batch, **samples)
     c = m.unormalized_log_prob(data=coo_batch, **samples)
     np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=1e-10)
+
+
+def test_device_sparse_matches_host_coo():
+    """DeviceSparseCounts' jitted on-device COO assembly must produce the
+    same triplets (in CSR batch order) as the host path."""
+    from spmf_tpu.data import DeviceSparseCounts
+
+    dense = RNG.poisson(0.4, (50, 14)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    dev = DeviceSparseCounts(sp, batch_size=20, dtype=np.float64)
+    host_iter = iter(SparseCounts.from_dense(dense).batch(20).as_coo())
+    n_batches = 0
+    for db in dev:
+        hb = next(host_iter)
+        nnz = int(np.count_nonzero(hb["coo_vals"]))
+        np.testing.assert_array_equal(
+            np.asarray(db["coo_rows"])[:nnz], hb["coo_rows"][:nnz])
+        np.testing.assert_array_equal(
+            np.asarray(db["coo_cols"])[:nnz], hb["coo_cols"][:nnz])
+        np.testing.assert_allclose(
+            np.asarray(db["coo_vals"])[:nnz], hb["coo_vals"][:nnz])
+        # padding is zero-valued (exact no-op in the sparse energy)
+        assert (np.asarray(db["coo_vals"])[nnz:] == 0).all()
+        np.testing.assert_array_equal(db["indices"], hb["indices"])
+        n_batches += 1
+    assert n_batches == 2  # 50 rows / 20 per batch, remainder dropped
+
+
+def test_device_sparse_feeds_fit():
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import SparseCounts
+
+    dense = RNG.poisson(0.3, (200, 16)).astype(float)
+    dev = SparseCounts.from_dense(dense).shuffle(seed=3).batch(50) \
+        .to_device(dtype=np.float64)
+    m = PoissonFactorization(latent_dim=3, feature_dim=16, u_tau_scale=0.1,
+                             dtype="float64", data=dev)
+    losses = m.fit(batched_data_factory=dev, num_steps=3, learning_rate=0.1,
+                   sample_size=4, verbose=False, rel_tol=None)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_device_sparse_overflow_raises():
+    from spmf_tpu.data import DeviceSparseCounts
+
+    dense = RNG.poisson(2.0, (12, 10)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    dev = DeviceSparseCounts(sp, batch_size=6, max_nnz=4)  # deliberately tiny
+    with pytest.raises(ValueError, match="overflowed the static pad"):
+        list(dev)
+
+
+def test_prefetch_batches_order_transform_and_errors():
+    from spmf_tpu.data.prefetch import prefetch_batches
+
+    items = list(range(20))
+    out = list(prefetch_batches(iter(items), size=3, transform=lambda x: x * 2))
+    assert out == [x * 2 for x in items]
+    # size=0: synchronous passthrough
+    assert list(prefetch_batches(iter(items), size=0)) == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker failed")
+
+    gen = prefetch_batches(boom(), size=2)
+    assert next(gen) == 1
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(gen)

@@ -249,3 +249,24 @@ def test_nonfinite_initial_loss_does_not_poison_best_tracking():
     # and the final returned losses must include improvements)
     flat, _ = jax.tree_util.tree_flatten(result.params)
     assert all(np.isfinite(np.asarray(a)).all() for a in flat)
+
+
+def test_device_batch_multihost_seam_matches_device_put():
+    """VERDICT r2 #6: the multi-host feeding seam. Single-process it must
+    reproduce the device_put path exactly (process_local_rows covers all
+    rows, make_array_from_process_local_data assembles the same global
+    array with the same sharding)."""
+    from spmf_tpu.parallel import make_mesh
+    from spmf_tpu.vi.minibatch import _device_batch
+
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    rng = np.random.default_rng(0)
+    batch = {
+        "counts": rng.poisson(1.0, (16, 8)).astype(np.float64),
+        "indices": np.arange(16),
+    }
+    plain = _device_batch(batch, jnp.float64, mesh, multihost=False)
+    seam = _device_batch(batch, jnp.float64, mesh, multihost=True)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(seam[k]), np.asarray(plain[k]))
+        assert seam[k].sharding == plain[k].sharding

