@@ -138,6 +138,8 @@ def main():
          dict(fused=True, gamma_sampler="fused", remat=False, batch=8192)),
         ("pallas-fused-ig-noremat",
          dict(fused=True, gamma_sampler="fused", remat=False, batch=16384)),
+        ("pallas-fused-ig-noremat",
+         dict(fused=True, gamma_sampler="fused", remat=False, batch=32768)),
     ):
         try:
             rows = measure(jax.default_backend(), ITERS, **kw)

@@ -25,10 +25,15 @@ from spmf_tpu import (
     BernoulliFactorization,
     GaussianFactorization,
     MixedFactorization,
+    PoissonAutoencoder,
     PoissonFactorization,
 )
 
 S, B, D, P = 8, 1024, 20000, 32
+# the autoencoder's [D, D, K, D, D] dense stack is O(D^2) parameters —
+# 20k would be 2x 400M-param layers; benched at its own production-plausible
+# width instead
+D_AE = 2000
 ITERS = 25
 
 
@@ -67,6 +72,9 @@ def main():
         ("mixed", MixedFactorization(
             column_types=["poisson"] * (D // 2) + ["bernoulli"] * (D - D // 2),
             **kw), Xp),
+        ("autoencoder", PoissonAutoencoder(
+            {"counts": np.asarray(Xp[:, :D_AE]), "indices": np.arange(B)},
+            latent_dim=P, dtype="float32"), Xp[:, :D_AE]),
     ):
         step, o = make_step(model)
         states.append(dict(name=name, step=step, X=X,

@@ -1,10 +1,17 @@
 """Sparse-path benchmark: train on a 100k x 50k CSR matrix without ever
-densifying it (VERDICT r1 #5 acceptance).
+densifying it (VERDICT r1 #5 acceptance; r2 #1 performance work).
 
 Dense would be 100k x 50k x 4B = 20 GB per copy (untrainable with slab
 batches through a 1-core host); the COO path ships ~nnz*16 bytes per batch
-and runs the gather-dot/segment-sum energy on device. Prints a JSON line
-with rows/sec and the implied dense-equivalent footprint.
+and runs the gather-dot/segment-sum energy on device.
+
+Three configurations, interleaved-comparable in one process:
+  host-coo-sync      r2 baseline: host numpy COO assembly, no overlap
+  host-coo-prefetch  + background-thread double buffering (engine default)
+  device-coo         HBM-resident CSR, jitted on-device batch assembly
+                     (DeviceSparseCounts — no per-step host work or H2D)
+Writes docs/sparse_bench.json with all three; the headline value is the
+best (the production default path).
 """
 import json
 import os
@@ -24,37 +31,64 @@ from spmf_tpu.data import SparseCounts
 
 N, D, P, B = 100_000, 50_000, 16, 2048
 DENSITY = 0.001  # ~5M nonzeros
+EPOCHS = 3
 
 rng = np.random.default_rng(0)
 nnz = int(N * D * DENSITY)
 rows = rng.integers(0, N, nnz)
 cols = rng.integers(0, D, nnz)
 vals = rng.poisson(3.0, nnz) + 1.0
-sp = SparseCounts.from_coo(rows, cols, vals, (N, D))
-print(f"CSR built: {N}x{D}, nnz={len(sp.data):,} (density {sp.density:.2%}), "
+sp_base = SparseCounts.from_coo(rows, cols, vals, (N, D))
+print(f"CSR built: {N}x{D}, nnz={len(sp_base.data):,} "
+      f"(density {sp_base.density:.2%}), "
       f"dense equivalent {N*D*4/2**30:.1f} GiB", flush=True)
 
-sp = sp.shuffle(seed=0).batch(B, drop_remainder=True).as_coo()
-m = PoissonFactorization(
-    latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(N * D),
-    dtype="float32", data=sp, scale_rows=False,
-)
 
-losses = m.fit(batched_data_factory=sp, num_steps=3, learning_rate=0.05,
-               sample_size=8, verbose=False, rel_tol=None, remat_sampling=False)
-# first epoch pays the jit compile; steady-state = later epochs
-epoch_s = m.last_fit.extras["epoch_seconds"]
-steady = min(epoch_s[1:])
+def run(label, data, prefetch):
+    m = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(N * D),
+        dtype="float32", data=data, scale_rows=False,
+    )
+    losses = m.fit(batched_data_factory=data, num_steps=EPOCHS,
+                   learning_rate=0.05, sample_size=8, verbose=False,
+                   rel_tol=None, remat_sampling=False, prefetch=prefetch)
+    epoch_s = m.last_fit.extras["epoch_seconds"]
+    steady = min(epoch_s[1:])
+    out = {
+        "rows_per_sec": round((N // B) * B / steady, 1),
+        "epoch_seconds": [round(s, 2) for s in epoch_s],
+        "losses": [round(float(l), 4) for l in losses],
+    }
+    print(label, json.dumps(out), flush=True)
+    return out
+
+
+def fresh_host():
+    s = SparseCounts(sp_base.indptr, sp_base.indices, sp_base.data,
+                     sp_base.shape)
+    return s.shuffle(seed=0).batch(B, drop_remainder=True).as_coo()
+
+
+configs = {}
+configs["host_coo_sync"] = run("host-coo-sync", fresh_host(), prefetch=0)
+configs["host_coo_prefetch"] = run("host-coo-prefetch", fresh_host(),
+                                   prefetch=2)
+dev = fresh_host().to_device()
+configs["device_coo"] = run("device-coo", dev, prefetch=2)
+
+best_label = max(configs, key=lambda k: configs[k]["rows_per_sec"])
 result = {
     "metric": "sparse_coo_train_rows_per_sec",
-    "value": round((N // B) * B / steady, 1),
+    "value": configs[best_label]["rows_per_sec"],
     "unit": f"rows/sec (N={N}, D={D}, nnz={nnz}, P={P}, batch={B}, f32, "
-            "coo energy, steady-state epoch incl. host batch assembly)",
-    "losses": [round(float(l), 4) for l in losses],
-    "epoch_seconds": [round(s, 2) for s in epoch_s],
+            f"{best_label.replace('_', '-')}, steady-state epoch)",
+    "configs": configs,
+    "r2_baseline_rows_per_sec": 30789.4,
 }
-print(json.dumps(result), flush=True)
+print(json.dumps({k: result[k] for k in ("metric", "value", "unit")}),
+      flush=True)
 path = os.path.join(os.path.dirname(__file__), "..", "docs",
                     "sparse_bench.json")
 with open(path, "w") as f:
     json.dump(result, f, indent=2)
+print("wrote", os.path.abspath(path))

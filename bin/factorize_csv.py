@@ -107,23 +107,33 @@ def main():
             * weights[:, -1, :]
             * np.asarray(factor.eta_i).reshape(1, -1)
         )
-        # az.plot_forest-style panel (reference bin/factorize_csv.py:150-170;
-        # arviz itself is an optional dependency): per-feature rows, a thick
-        # 50% HDI-style band, a thin 94% band, and a median dot
-        lo94, lo50, mid, hi50, hi94 = np.percentile(
-            intercept, [3.0, 25.0, 50.0, 75.0, 97.0], axis=0
-        )
-        ys = np.arange(columns)
-        ax[1].hlines(ys, lo94, hi94, color="C0", linewidth=1)
-        ax[1].hlines(ys, lo50, hi50, color="C0", linewidth=3.5)
-        ax[1].plot(mid, ys, "o", color="white", markersize=3.5,
-                   markeredgecolor="C0", zorder=3)
-        ax[1].set_yticks(ys)
-        ax[1].set_yticklabels([f"feature {i}" for i in ys])
-        ax[1].set_xlabel("background rate")
-        ax[1].axvline(1.0, linestyle="dashed", color="black")
-        ax[1].set_title("intercept posterior (94% / 50% intervals)")
-        ax[1].invert_yaxis()
+        # forest plot of the intercept posteriors (reference
+        # bin/factorize_csv.py:176 az.plot_forest). Real arviz when the
+        # optional dependency is importable; otherwise a matching manual
+        # panel (per-feature rows, thick 50% band, thin 94% band, median).
+        try:
+            import arviz as az
+
+            az.plot_forest(
+                {"background rate": intercept[None]}, ax=ax[1],
+                combined=True,
+            )
+            ax[1].axvline(1.0, linestyle="dashed", color="black")
+        except ImportError:
+            lo94, lo50, mid, hi50, hi94 = np.percentile(
+                intercept, [3.0, 25.0, 50.0, 75.0, 97.0], axis=0
+            )
+            ys = np.arange(columns)
+            ax[1].hlines(ys, lo94, hi94, color="C0", linewidth=1)
+            ax[1].hlines(ys, lo50, hi50, color="C0", linewidth=3.5)
+            ax[1].plot(mid, ys, "o", color="white", markersize=3.5,
+                       markeredgecolor="C0", zorder=3)
+            ax[1].set_yticks(ys)
+            ax[1].set_yticklabels([f"feature {i}" for i in ys])
+            ax[1].set_xlabel("background rate")
+            ax[1].axvline(1.0, linestyle="dashed", color="black")
+            ax[1].set_title("intercept posterior (94% / 50% intervals)")
+            ax[1].invert_yaxis()
         plt.savefig(f"{base}_encoding_{suffix}.pdf", bbox_inches="tight")
     except ImportError:
         print("matplotlib not available; skipping figure")

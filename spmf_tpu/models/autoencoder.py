@@ -69,8 +69,21 @@ class PoissonAutoencoder(BayesianModel):
             dtype=self.dtype,
         )
         self.joint_prior = self.neural_network_model.joint_prior
+        # scaling.md-derived surrogate inits (VERDICT r2 #7; reference
+        # docs/scaling.md product-variance argument): posterior scale per
+        # weight layer tracks the prior's 1/sqrt(fan_in) so each layer's
+        # sampled-weight noise contributes O(0.1) pre-activation std
+        # regardless of width — the generic 1e-3 made wide layers start
+        # ~sqrt(D)x noisier than narrow ones. Biases keep the tiny 1e-3.
+        nn = self.neural_network_model
+        dims = [nn.input_size] + nn.layer_sizes
+        init_scale = {}
+        for l, d_in in enumerate(dims[:-1]):
+            init_scale[f"w_{l}"] = 0.1 * nn.weight_scale / np.sqrt(d_in)
+            init_scale[f"b_{l}"] = 1e-3
         self._surrogate = build_surrogate_posterior(
-            self.joint_prior, self.neural_network_model.bijectors, dtype=self.dtype
+            self.joint_prior, self.neural_network_model.bijectors,
+            dtype=self.dtype, init_scale=init_scale,
         )
         self.surrogate_params = self._surrogate.init()
         self.var_list = list(self._surrogate.names)

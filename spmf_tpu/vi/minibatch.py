@@ -282,9 +282,14 @@ def fit_surrogate_posterior(
     say(f"Initial loss: {initial_loss}")
 
     losses: List[float] = [initial_loss]
-    # a non-finite initial loss must not poison the best-loss tracking
-    # (nan comparisons are always False -> no checkpoint would ever be saved)
-    best_loss = initial_loss if np.isfinite(initial_loss) else np.inf
+    # Epoch AVERAGES are the checkpoint unit. The single-batch initial eval
+    # is display-only (reference prints it) and must not seed best_loss:
+    # comparing it against epoch averages froze segmented/resumed fits
+    # whose first batch is easier than the dataset average — the fit would
+    # return its input params unchanged. best_params still starts as the
+    # initial params so divergence recovery before the first finite epoch
+    # has something to restore.
+    best_loss = np.inf
     best_params = _device_copy(params)
     best_opt_state = _device_copy(opt_state)
     lr = learning_rate

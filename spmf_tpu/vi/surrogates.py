@@ -597,15 +597,21 @@ def build_trainable_InverseGamma_dist(concentration, scale, ndims=None, dtype=No
     return TrainableInverseGamma(concentration, scale, event_ndims=ndims, dtype=dtype)
 
 
-def build_surrogate_posterior(joint_prior, bijectors, dtype=None, strategy=None):
+def build_surrogate_posterior(joint_prior, bijectors, dtype=None, strategy=None,
+                              init_loc=None, init_scale=None):
     """Auto-build a mean-field surrogate for an arbitrary named joint prior
     (bayesianquilts.vi.advi.build_surrogate_posterior; reference call site:
     poisson.py:778-781 for the PoissonAutoencoder).
 
     Strategy: for each variable, a TrainableNormal in unconstrained space,
-    initialized near zero with small scale, pushed through the model bijector.
+    initialized near zero with small scale, pushed through the model
+    bijector. ``init_loc`` / ``init_scale`` are optional per-name override
+    dicts (scalar or array) — e.g. the PoissonAutoencoder passes
+    scaling.md-derived per-layer scales instead of the generic 1e-3.
     """
     del strategy
+    init_loc = init_loc or {}
+    init_scale = init_scale or {}
     # Draw a deterministic structure sample to get shapes
     probe = joint_prior.sample(jax.random.PRNGKey(0))
     surrogates = {}
@@ -614,7 +620,14 @@ def build_surrogate_posterior(joint_prior, bijectors, dtype=None, strategy=None)
         loc = jnp.full(jnp.shape(val), -3.0, dtype or val.dtype)
         if isinstance(b, tfb.Identity):
             loc = jnp.zeros(jnp.shape(val), dtype or val.dtype)
-        scale = jnp.full(jnp.shape(val), 1e-3, dtype or val.dtype)
+        if name in init_loc:
+            loc = jnp.broadcast_to(
+                jnp.asarray(init_loc[name], loc.dtype), jnp.shape(val)
+            )
+        scale = jnp.broadcast_to(
+            jnp.asarray(init_scale.get(name, 1e-3), dtype or val.dtype),
+            jnp.shape(val),
+        )
         surrogates[name] = TransformedSurrogate(
             TrainableNormal(loc, scale, event_ndims=len(jnp.shape(val))), b
         )

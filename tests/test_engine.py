@@ -270,3 +270,32 @@ def test_device_batch_multihost_seam_matches_device_put():
     for k in batch:
         np.testing.assert_array_equal(np.asarray(seam[k]), np.asarray(plain[k]))
         assert seam[k].sharding == plain[k].sharding
+
+
+def test_resumed_fit_advances_params():
+    """Segmented/resumed fits must not freeze: the single-batch initial
+    eval is display-only and must not seed best_loss (it is a different
+    unit than the epoch averages it was compared against — near
+    convergence, a fit whose first batch is easier than the dataset
+    average returned its input params bit-unchanged)."""
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    params = surrogate.init()
+    r1 = fit_surrogate_posterior(
+        energy, surrogate, params, lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    # snapshot before fitting again: the jitted step donates its input
+    before = [np.asarray(a) for a in jax.tree_util.tree_leaves(
+        jax.device_get(r1.params))]
+    r2 = fit_surrogate_posterior(
+        energy, surrogate, r1.params, lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=1, opt_state=r1.opt_state,
+    )
+    after = jax.tree_util.tree_leaves(r2.params)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    ), "resumed fit returned its input params bit-unchanged"

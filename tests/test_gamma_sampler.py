@@ -77,3 +77,47 @@ def test_small_concentration_never_underflows():
     # IG transform stays finite too
     x = 1.0 / g
     assert np.isfinite(x).all()
+
+
+def test_wh_accuracy_below_horseshoe_shape():
+    """Extend the validated KS envelope below 0.7 (VERDICT r2 Weak #7): the
+    trainable IG concentrations can drift toward the horseshoe's a=0.5
+    during training, outside the originally validated 0.7-5 range. The
+    boost construction keeps the WH core at shape a+8, and Stuart's
+    reduction is exact, so accuracy must hold — measured here down to
+    a=0.3 and up to a=50."""
+    for a in [0.3, 0.5, 20.0, 50.0]:
+        conc = jnp.full((200_000,), a, jnp.float32)
+        x = np.asarray(wilson_hilferty_gamma(KEY, conc))
+        assert (x > 0).all()
+        ks = st.kstest(x[:20000], "gamma", args=(a,)).statistic
+        assert ks < 0.02, (a, ks)
+
+
+def test_converged_ig_concentrations_inside_validated_envelope():
+    """Fit a noise config to convergence and check the (a, b) ranges the
+    trainable IG surrogates actually visit against the measured KS
+    envelope [0.3, 50] (VERDICT r2 #8: the sampler accuracy claim must
+    hold at the converged operating point, not just at init)."""
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import ArrayDataset
+
+    rng = np.random.default_rng(1)
+    X = rng.poisson(1.0, (2000, 12))
+    data = ArrayDataset({"counts": X, "indices": np.arange(2000)}).batch(500)
+    m = PoissonFactorization(
+        latent_dim=3, feature_dim=12, u_tau_scale=1 / np.sqrt(2000 * 12),
+        dtype="float64", data=data, gamma_sampler="fast",
+    )
+    m.fit(batched_data_factory=data, num_steps=25, learning_rate=0.05,
+          sample_size=8, verbose=False, rel_tol=None)
+    lo, hi = np.inf, -np.inf
+    for name, p in m.surrogate_params.items():
+        if "raw_concentration" not in p:
+            continue
+        a = np.asarray(jax.nn.softplus(np.asarray(p["raw_concentration"],
+                                                  np.float64)))
+        lo, hi = min(lo, a.min()), max(hi, a.max())
+    assert np.isfinite(lo) and np.isfinite(hi)
+    assert lo >= 0.3, f"converged concentration {lo} below validated 0.3"
+    assert hi <= 50.0, f"converged concentration {hi} above validated 50"
