@@ -95,6 +95,7 @@ class PoissonFactorization(BayesianModel):
         fused_likelihood=None,
         gamma_sampler=None,
         aux_broadcast=False,
+        sparse_dense_scatter=None,
         **kwargs,
     ):
         """Mirrors the reference constructor signature (poisson.py:56-64),
@@ -159,6 +160,10 @@ class PoissonFactorization(BayesianModel):
         #: kernels — with the epoch cost, it no longer pays; kept for API
         #: compatibility and small-batch regimes.
         self.aux_broadcast = aux_broadcast
+        #: COO batches: None/'auto' = densify on device and use the fused
+        #: MXU path when fusion is active (TPU default; see the scatter
+        #: note in unormalized_log_prob_parts), True/False force.
+        self.sparse_dense_scatter = sparse_dense_scatter
         self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)
         self.fusion_inactive_reason = None
         self._fusion_warned = False
@@ -551,7 +556,26 @@ class PoissonFactorization(BayesianModel):
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
 
         if isinstance(data, dict) and "coo_vals" in data:
-            return self._coo_log_prob_parts(data, prior_parts, params)
+            if self._sparse_dense_scatter():
+                # TPU-native sparse: scatter the COO triplets into a dense
+                # (B, D) slab ON DEVICE and take the fused MXU-dense path.
+                # Measured (docs/sparse_bench.json r3): the gather-dot/
+                # segment-sum COO energy is gather-bound on TPU (~1.6M
+                # nnz/sec regardless of batch size — per-nnz gathers run
+                # on the VPU), while the dense kernel streams B x D cells
+                # through the MXU at ~6e9 cells/sec; below ~1% density
+                # the "wasted" dense FLOPs are far cheaper than gathers.
+                # Zero padding scatters 0 += 0 into cell (0, 0) — exact.
+                # Storage stays sparse (host CSR / HBM triplets); only
+                # the transient batch slab is dense.
+                B = data["indices"].shape[0]
+                D = self.feature_dim
+                x = jnp.zeros((B, D), self.dtype).at[
+                    data["coo_rows"], data["coo_cols"]
+                ].add(jnp.asarray(data["coo_vals"], self.dtype))
+                data = dict(data, **{self.count_key: x})
+            else:
+                return self._coo_log_prob_parts(data, prior_parts, params)
 
         theta = self.encode(self._counts(data), params["u"], params["s"])
         prior_parts["z"] = self._theta_prior_log_prob(theta)
@@ -628,6 +652,17 @@ class PoissonFactorization(BayesianModel):
         if psum_axis is not None:
             nz_term = jax.lax.psum(nz_term, psum_axis)
         return theta, nz_term
+
+    def _sparse_dense_scatter(self):
+        """Whether COO batches take the dense-scatter + fused-MXU path
+        (see unormalized_log_prob_parts). 'auto'/None: yes when the fused
+        kernel is active (TPU); the gather-dot COO energy stays the CPU /
+        XLA-fallback and very-wide-D (slab-doesn't-fit) path, forceable
+        with sparse_dense_scatter=True/False."""
+        mode = self.sparse_dense_scatter
+        if mode in (None, "auto"):
+            return self._can_fuse()
+        return bool(mode)
 
     def _coo_log_prob_parts(self, data, prior_parts, params):
         """Sparse (COO) energy: trains on padded triplet batches without

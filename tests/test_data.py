@@ -318,3 +318,45 @@ def test_prefetch_batches_order_transform_and_errors():
     assert next(gen) == 1
     with pytest.raises(RuntimeError, match="worker failed"):
         list(gen)
+
+
+def test_coo_dense_scatter_matches_dense_energy():
+    """sparse_dense_scatter=True: a COO batch is scattered into a dense
+    slab on device and must produce EXACTLY the dense-batch energy
+    (including the reference clip frame) — the TPU sparse path
+    (docs/sparse_bench.json: the gather-dot COO energy is gather-bound
+    on TPU; the MXU-dense kernel wins below ~1% density)."""
+    import jax
+    import jax.numpy as jnp
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.5, (40, 12)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    m = PoissonFactorization(latent_dim=3, feature_dim=12, u_tau_scale=0.1,
+                             dtype="float64", data=sp.batch(40),
+                             sparse_dense_scatter=True)
+    key = jax.random.PRNGKey(0)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (3,))
+
+    rows, cols, vals = sp.batch_coo(np.arange(40))
+    pad = len(vals) + 29
+    coo_batch = {
+        "coo_rows": np.zeros(pad, np.int32),
+        "coo_cols": np.zeros(pad, np.int32),
+        "coo_vals": np.zeros(pad),
+        "indices": np.arange(40),
+    }
+    coo_batch["coo_rows"][:len(vals)] = rows
+    coo_batch["coo_cols"][:len(vals)] = cols
+    coo_batch["coo_vals"][:len(vals)] = vals
+    dense_batch = {"counts": dense, "indices": np.arange(40)}
+
+    d = m.unormalized_log_prob(data=dense_batch, **samples)
+    c = m.unormalized_log_prob(data=coo_batch, **samples)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+    # and it trains end-to-end through fit()
+    spb = SparseCounts.from_dense(dense).shuffle(seed=2).batch(20).as_coo()
+    losses = m.fit(batched_data_factory=spb, num_steps=2, learning_rate=0.1,
+                   sample_size=4, verbose=False, rel_tol=None)
+    assert np.isfinite(losses).all()
