@@ -881,6 +881,15 @@ class PoissonFactorization(BayesianModel):
         return self.unormalized_log_prob(**dict(zip(self.var_list, x)))
 
     def _row_log_likelihood(self, batch, samples):
+        if isinstance(batch, dict) and "coo_vals" in batch:
+            # WAIC over sparse (COO) batches: densify the slab on device
+            # (same scatter as the training path) — per-row log-likelihoods
+            # need every cell's -rate term anyway
+            B = batch["indices"].shape[0]
+            x = jnp.zeros((B, self.feature_dim), self.dtype).at[
+                batch["coo_rows"], batch["coo_cols"]
+            ].add(jnp.asarray(batch["coo_vals"], self.dtype))
+            batch = dict(batch, **{self.count_key: x})
         if self._can_fuse() and self.mesh is None:
             # stream per-row sums tile-by-tile (no (S,B,D) tensor) — WAIC
             # at D=20k with 100 posterior samples would otherwise

@@ -360,3 +360,19 @@ def test_coo_dense_scatter_matches_dense_energy():
     losses = m.fit(batched_data_factory=spb, num_steps=2, learning_rate=0.1,
                    sample_size=4, verbose=False, rel_tol=None)
     assert np.isfinite(losses).all()
+
+
+def test_waic_over_coo_batches_matches_dense():
+    """WAIC must accept sparse COO factories (the scRNA production data)
+    and agree exactly with the dense evaluation."""
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.5, (60, 10)).astype(float)
+    sp = SparseCounts.from_dense(dense).batch(30, drop_remainder=True).as_coo()
+    m = PoissonFactorization(latent_dim=3, feature_dim=10, u_tau_scale=0.1,
+                             dtype="float64", data=sp)
+    w_coo = m.waic(sp, num_samples=6, sample_chunk=3)
+    dd = ArrayDataset({"counts": dense, "indices": np.arange(60)}).batch(30)
+    w_dense = m.waic(dd, num_samples=6, sample_chunk=3)
+    for k in w_dense:
+        np.testing.assert_allclose(w_coo[k], w_dense[k], rtol=1e-12)
