@@ -1,17 +1,29 @@
-"""Sparse-path benchmark: train on a 100k x 50k CSR matrix without ever
-densifying it (VERDICT r1 #5 acceptance; r2 #1 performance work).
+"""Sparse-path benchmark: 100k x 50k CSR training (VERDICT r1 #5
+acceptance; r2 #1 / r3 performance work). Full dense storage would be
+100k x 50k x 4B = 20 GB per copy; here storage stays sparse (host CSR /
+~nnz*16 bytes shipped per batch).
 
-Dense would be 100k x 50k x 4B = 20 GB per copy (untrainable with slab
-batches through a 1-core host); the COO path ships ~nnz*16 bytes per batch
-and runs the gather-dot/segment-sum energy on device.
-
-Three configurations, interleaved-comparable in one process:
-  host-coo-sync      r2 baseline: host numpy COO assembly, no overlap
-  host-coo-prefetch  + background-thread double buffering (engine default)
-  device-coo         HBM-resident CSR, jitted on-device batch assembly
-                     (DeviceSparseCounts — no per-step host work or H2D)
-Writes docs/sparse_bench.json with all three; the headline value is the
-best (the production default path).
+Configurations measured (one process; the tunnel's ambient drift makes
+cross-process comparisons untrustworthy — CLAUDE.md):
+  host-coo-gather-energy   the r2 energy: gather-dot/segment-sum over the
+                           COO triplets (sparse_dense_scatter=False).
+                           Measured GATHER-bound on TPU: ~3.2 s/epoch flat
+                           regardless of batch size, and identical with
+                           prefetch on or off (r3 sweep: sync 3.19 /
+                           prefetch 3.18 s at B=2048; see git history of
+                           docs/sparse_bench.json) — per-nnz takes and
+                           segment-sums run on the VPU.
+  host-scatter-dense-b*    the r3 default TPU path: each COO batch is
+                           scattered into a transient dense (B, D) slab on
+                           device and fed to the fused MXU kernel (epoch
+                           cost ~ N x D cells through the MXU, constant in
+                           batch size).
+  device-scatter-dense     DeviceSparseCounts (HBM CSR + jitted on-device
+                           COO assembly) feeding the same scatter path —
+                           measures slower: the searchsorted run decode is
+                           itself gather-bound.
+Writes docs/sparse_bench.json; the headline value is the best (the
+production default path).
 """
 import json
 import os

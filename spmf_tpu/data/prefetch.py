@@ -38,22 +38,29 @@ def prefetch_batches(iterable: Iterable, size: int = 2,
     q: queue.Queue = queue.Queue(maxsize=size)
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        """Bounded put that gives up when the consumer is gone; True when
+        the item was enqueued (every put must go through here — an
+        unconditional q.put would block a worker forever if the consumer
+        abandoned the generator with the queue full)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def work():
         try:
             for item in iterable:
                 if transform is not None:
                     item = transform(item)
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(_SENTINEL)
+            put_or_stop(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            put_or_stop(e)
 
     worker = threading.Thread(target=work, daemon=True)
     worker.start()

@@ -288,13 +288,26 @@ class DeviceSparseCounts:
         return int(self._max_nnz)
 
     def _assemble_fn(self, pad, bs):
+        # one cached jit per (pad, bs): a fresh wrapper per epoch would
+        # retrace every epoch. The CSR arrays are passed as ARGUMENTS, not
+        # closed over — closures bake the (possibly multi-100-MB) nnz
+        # arrays into the traced computation, which the remote-compile
+        # tunnel rejects (HTTP 413; CLAUDE.md)
+        cache = getattr(self, "_assemble_cache", None)
+        if cache is None:
+            cache = self._assemble_cache = {}
+        fn = cache.get((pad, bs))
+        if fn is None:
+            fn = cache[(pad, bs)] = self._make_assemble(pad, bs)
+        return fn
+
+    @staticmethod
+    def _make_assemble(pad, bs):
         import jax
         import jax.numpy as jnp
 
-        indptr, cols, vals = self.indptr, self.indices, self.data
-
         @jax.jit
-        def assemble(row_ids):
+        def assemble(indptr, cols, vals, row_ids):
             lo = indptr[row_ids]                       # (B,)
             counts = indptr[row_ids + 1] - lo
             cum = jnp.cumsum(counts)
@@ -336,8 +349,17 @@ class DeviceSparseCounts:
 
         bs = self._batch_size or self.num_rows
         n = self.num_rows
-        # remainder batches would need their own row-count compile; always
-        # drop the remainder (like the dp-sharded dense path)
+        # remainder batches would need their own row-count compile; this
+        # dataset always drops the remainder — REFUSE silently-dropped
+        # rows unless the caller opted in (an unshuffled remainder would
+        # never be trained on at all)
+        if n % bs and not self._drop_remainder:
+            raise ValueError(
+                f"DeviceSparseCounts drops the {n % bs}-row remainder "
+                f"(N={n}, batch={bs}, static per-batch compile): pass "
+                "drop_remainder=True to batch() to accept this, or a "
+                "batch size dividing N"
+            )
         stop = n - (n % bs)
         pad = self._pad(bs)
         assemble = self._assemble_fn(pad, bs)
@@ -348,7 +370,8 @@ class DeviceSparseCounts:
             rng.shuffle(idx)
         for start in range(0, stop, bs):
             sl = idx[start : start + bs]
-            batch = dict(assemble(jnp.asarray(sl, jnp.int32)))
+            batch = dict(assemble(self.indptr, self.indices, self.data,
+                                  jnp.asarray(sl, jnp.int32)))
             self._pending_nnz.append(batch.pop("coo_nnz"))
             batch["indices"] = sl
             for k, v in self.extras.items():

@@ -556,7 +556,7 @@ class PoissonFactorization(BayesianModel):
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
 
         if isinstance(data, dict) and "coo_vals" in data:
-            if self._sparse_dense_scatter():
+            if self._sparse_dense_scatter(data["indices"].shape[0]):
                 # TPU-native sparse: scatter the COO triplets into a dense
                 # (B, D) slab ON DEVICE and take the fused MXU-dense path.
                 # Measured (docs/sparse_bench.json r3): the gather-dot/
@@ -653,14 +653,26 @@ class PoissonFactorization(BayesianModel):
             nz_term = jax.lax.psum(nz_term, psum_axis)
         return theta, nz_term
 
-    def _sparse_dense_scatter(self):
+    #: auto-mode ceiling for the transient dense (B, D) slab (f32 bytes):
+    #: beyond this, auto keeps the gather COO energy — the r2 "never
+    #: densify" guarantee for very wide D, where the slab wouldn't fit HBM
+    #: alongside the model (v5e: 16 GB)
+    _DENSE_SCATTER_MAX_SLAB_BYTES = 4 << 30
+
+    def _sparse_dense_scatter(self, batch_rows=None):
         """Whether COO batches take the dense-scatter + fused-MXU path
         (see unormalized_log_prob_parts). 'auto'/None: yes when the fused
-        kernel is active (TPU); the gather-dot COO energy stays the CPU /
-        XLA-fallback and very-wide-D (slab-doesn't-fit) path, forceable
-        with sparse_dense_scatter=True/False."""
+        kernel is active (TPU) AND the transient (B, D) slab stays under
+        _DENSE_SCATTER_MAX_SLAB_BYTES; the gather-dot COO energy stays the
+        CPU/XLA-fallback and very-wide-D (slab-doesn't-fit) path,
+        forceable with sparse_dense_scatter=True/False."""
         mode = self.sparse_dense_scatter
         if mode in (None, "auto"):
+            if batch_rows is not None and self.feature_dim:
+                slab = int(batch_rows) * int(self.feature_dim) \
+                    * jnp.dtype(self.dtype).itemsize
+                if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
+                    return False
             return self._can_fuse()
         return bool(mode)
 
@@ -886,6 +898,15 @@ class PoissonFactorization(BayesianModel):
             # (same scatter as the training path) — per-row log-likelihoods
             # need every cell's -rate term anyway
             B = batch["indices"].shape[0]
+            slab = B * int(self.feature_dim) * jnp.dtype(self.dtype).itemsize
+            if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
+                raise ValueError(
+                    f"per-row log-likelihood over a COO batch needs a "
+                    f"transient dense ({B}, {self.feature_dim}) slab "
+                    f"({slab / 2**30:.1f} GiB > "
+                    f"{self._DENSE_SCATTER_MAX_SLAB_BYTES / 2**30:.0f} GiB)"
+                    " — evaluate waic() with a smaller batch size"
+                )
             x = jnp.zeros((B, self.feature_dim), self.dtype).at[
                 batch["coo_rows"], batch["coo_cols"]
             ].add(jnp.asarray(batch["coo_vals"], self.dtype))

@@ -69,6 +69,34 @@ def _device_batch(batch, dtype, mesh, data_axis="dp", multihost=None):
     if multihost is None:
         multihost = jax.process_count() > 1
     for k, v in batch.items():
+        if multihost and mesh is not None and data_axis in mesh.axis_names \
+                and np.ndim(v) >= 1:
+            # slice the process-local rows HOST-side before any device
+            # placement: materializing the full global batch on-device
+            # first would both ship rows this process does not own and
+            # OOM for pod-scale global batches
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from spmf_tpu.parallel.distributed import process_local_rows
+
+            host = np.asarray(jax.device_get(v)) if isinstance(v, jax.Array) \
+                else np.asarray(v)
+            n_rows = host.shape[0]
+            axes = [data_axis] + [None] * (host.ndim - 1)
+            if (
+                fp is not None
+                and host.ndim >= 2
+                and host.shape[1] > 1
+                and host.shape[1] % mesh.shape[fp] == 0
+            ):
+                axes[1] = fp
+            if np.issubdtype(host.dtype, np.floating):
+                host = host.astype(dtype)
+            start, stop = process_local_rows(n_rows)
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(*axes)), host[start:stop]
+            )
+            continue
         arr = jnp.asarray(v)
         if jnp.issubdtype(arr.dtype, jnp.floating):
             arr = arr.astype(dtype)
@@ -83,16 +111,7 @@ def _device_batch(batch, dtype, mesh, data_axis="dp", multihost=None):
                 and arr.shape[1] % mesh.shape[fp] == 0
             ):
                 axes[1] = fp
-            sharding = NamedSharding(mesh, P(*axes))
-            if multihost and data_axis in mesh.axis_names:
-                from spmf_tpu.parallel.distributed import process_local_rows
-
-                start, stop = process_local_rows(arr.shape[0])
-                arr = jax.make_array_from_process_local_data(
-                    sharding, np.asarray(arr[start:stop])
-                )
-            else:
-                arr = jax.device_put(arr, sharding)
+            arr = jax.device_put(arr, NamedSharding(mesh, P(*axes)))
         out[k] = arr
     return out
 

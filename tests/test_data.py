@@ -257,7 +257,8 @@ def test_device_sparse_matches_host_coo():
 
     dense = RNG.poisson(0.4, (50, 14)).astype(float)
     sp = SparseCounts.from_dense(dense)
-    dev = DeviceSparseCounts(sp, batch_size=20, dtype=np.float64)
+    dev = DeviceSparseCounts(sp, batch_size=20, drop_remainder=True,
+                             dtype=np.float64)
     host_iter = iter(SparseCounts.from_dense(dense).batch(20).as_coo())
     n_batches = 0
     for db in dev:
@@ -376,3 +377,12 @@ def test_waic_over_coo_batches_matches_dense():
     w_dense = m.waic(dd, num_samples=6, sample_chunk=3)
     for k in w_dense:
         np.testing.assert_allclose(w_coo[k], w_dense[k], rtol=1e-12)
+
+
+def test_device_sparse_refuses_silent_remainder_drop():
+    from spmf_tpu.data import DeviceSparseCounts
+
+    dense = RNG.poisson(0.5, (50, 8)).astype(float)
+    dev = DeviceSparseCounts(SparseCounts.from_dense(dense), batch_size=20)
+    with pytest.raises(ValueError, match="drops the 10-row remainder"):
+        next(iter(dev))
