@@ -38,6 +38,12 @@ def main():
                          "--sparse) over all local devices via a dp mesh "
                          "(multi-host: call jax.distributed.initialize "
                          "before running)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save a checkpoint per improving epoch here")
+    ap.add_argument("--resume-from", default=None,
+                    help="restore surrogate params from an engine "
+                         "checkpoint (.npz, or a directory: newest inside) "
+                         "before training — preemption recovery")
     args = ap.parse_args()
 
     mesh = None
@@ -124,6 +130,8 @@ def main():
         abs_tol=1e-3,
         rel_tol=1e-3,
         clip_value=args.clip_value,
+        checkpoint_dir=args.checkpoint_dir,
+        resume_from=args.resume_from,
     )
 
     U = np.asarray(factor.encoding_matrix())

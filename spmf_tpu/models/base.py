@@ -154,7 +154,7 @@ class BayesianModel:
             k: kwargs[k]
             for k in ("profile_dir", "remat_sampling", "convergence_window",
                       "opt_state", "param_sharding", "decay_schedule",
-                      "prefetch")
+                      "prefetch", "resume_from")
             if k in kwargs
         }
         result = fit_surrogate_posterior(

@@ -177,6 +177,7 @@ def fit_surrogate_posterior(
     param_sharding: str = "auto",
     decay_schedule: Optional[str] = None,
     prefetch: int = 2,
+    resume_from: Optional[str] = None,
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -187,7 +188,11 @@ def fit_surrogate_posterior(
     (the Poisson/Bernoulli reference models deliberately ignore it —
     reference poisson.py:577 quirk — the Gaussian model honours it).
     ``prefetch`` sets how many batches the background assembly thread runs
-    ahead of the device (0 disables threading).
+    ahead of the device (0 disables threading). ``resume_from`` restores
+    the surrogate params from an engine checkpoint before training — a
+    .npz path, or a directory (the newest .npz under it, recursively):
+    preemption recovery beyond the reference's in-loop-only restore
+    (SURVEY.md §5.3/5.4).
     """
     say = print if verbose else (lambda *a, **k: None)
 
@@ -204,6 +209,23 @@ def fit_surrogate_posterior(
     prior_weight = 1.0
     if dataset_size is not None and batch_size is not None:
         prior_weight = float(batch_size) / float(dataset_size)
+
+    if resume_from is not None:
+        from spmf_tpu.utils.checkpoint import load_pytree
+
+        path = resume_from
+        if os.path.isdir(path):
+            import glob
+
+            cands = sorted(
+                glob.glob(os.path.join(path, "**", "*.npz"), recursive=True),
+                key=os.path.getmtime,
+            )
+            if not cands:
+                raise FileNotFoundError(f"no .npz checkpoints under {path}")
+            path = cands[-1]
+        params = load_pytree(path, like=params)
+        say(f"Resumed surrogate params from {path}")
 
     # Mesh placement (SURVEY.md §5.7/5.8): rows over 'dp'; with
     # param_sharding='fp'/'auto' and an fp mesh axis, the feature dim D of
@@ -289,9 +311,10 @@ def fit_surrogate_posterior(
     def save_ckpt(tree_np, tag):
         if ckpt_path is None:
             return None
-        flat, treedef = jax.tree_util.tree_flatten(tree_np)
+        from spmf_tpu.utils.checkpoint import save_pytree
+
         path = os.path.join(ckpt_path, f"{run_id}-{tag}.npz")
-        np.savez(path, *flat)
+        save_pytree(path, jax.device_get(tree_np))
         return path
 
     # Initial loss on the first batch (reference prints "Initial loss: ...")

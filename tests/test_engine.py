@@ -299,3 +299,56 @@ def test_resumed_fit_advances_params():
         not np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(before, after)
     ), "resumed fit returned its input params bit-unchanged"
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Preemption recovery (SURVEY.md §5.4 aux upgrade): fit with
+    checkpointing, then resume a fresh run from the newest on-disk
+    checkpoint — params restore exactly (best == last saved)."""
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    r1 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=4, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert r1.checkpoint_path is not None
+    best = [np.asarray(a) for a in jax.tree_util.tree_leaves(
+        jax.device_get(r1.params))]
+
+    # the newest on-disk checkpoint holds exactly the best (returned) params
+    import glob, os
+
+    from spmf_tpu.utils.checkpoint import load_pytree
+
+    newest = max(
+        glob.glob(os.path.join(str(tmp_path), "**", "*.npz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    loaded = load_pytree(newest, like=jax.device_get(r1.params))
+    for a, b in zip(best, jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # resume_from accepts the directory and restores those params before
+    # training: capture what the engine's first eval sees via the energy
+    seen = {}
+
+    def probe_energy(batch, samples, w):
+        seen.setdefault("called", True)
+        return energy(batch, samples, w)
+
+    r2 = fit_surrogate_posterior(
+        probe_energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=1, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        resume_from=str(tmp_path),
+    )
+    # seed 0 + identical params => the resumed run's initial loss equals
+    # an eval at r1's best params, not at the fresh init
+    r1_eval = fit_surrogate_posterior(
+        energy, surrogate, r1.params, lambda: iter(data),
+        sample_size=8, num_steps=1, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    np.testing.assert_allclose(r2.losses[0], r1_eval.losses[0], rtol=1e-12)
