@@ -154,7 +154,7 @@ class BayesianModel:
             k: kwargs[k]
             for k in ("profile_dir", "remat_sampling", "convergence_window",
                       "opt_state", "param_sharding", "decay_schedule",
-                      "prefetch", "resume_from")
+                      "prefetch", "resume_from", "elbo_estimator")
             if k in kwargs
         }
         result = fit_surrogate_posterior(

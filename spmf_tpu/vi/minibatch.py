@@ -178,6 +178,7 @@ def fit_surrogate_posterior(
     decay_schedule: Optional[str] = None,
     prefetch: int = 2,
     resume_from: Optional[str] = None,
+    elbo_estimator: str = "standard",
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -262,7 +263,21 @@ def fit_surrogate_posterior(
         if mesh is not None else None
     )
 
-    draw = lambda p_, k_: surrogate.sample_and_log_prob(p_, k_, (sample_size,))
+    if elbo_estimator == "stl":
+        # "sticking the landing" (Roeder et al. 2017): evaluate log q with
+        # STOPPED variational parameters so only the pathwise sample term
+        # carries gradient — drops the score term (zero in expectation),
+        # removing its variance, which dominates near the optimum. Unbiased;
+        # logq is recomputed outside the joint samplers (parameter-sized,
+        # ~1 ms at D=20k). Measured: docs/stl_experiment.json.
+        def draw(p_, k_):
+            samples = surrogate.sample(p_, k_, (sample_size,))
+            p_stop = jax.tree_util.tree_map(jax.lax.stop_gradient, p_)
+            return samples, surrogate.log_prob(p_stop, samples)
+    elif elbo_estimator == "standard":
+        draw = lambda p_, k_: surrogate.sample_and_log_prob(p_, k_, (sample_size,))
+    else:
+        raise ValueError(f"unknown elbo_estimator {elbo_estimator!r}")
     if remat_sampling is None:
         # the fused Pallas IG sampler's RNG-replay VJP is already
         # residual-free, so rematerializing it just re-runs the kernel

@@ -352,3 +352,42 @@ def test_resume_from_checkpoint(tmp_path):
         verbose=False, dtype=jnp.float64, seed=0,
     )
     np.testing.assert_allclose(r2.losses[0], r1_eval.losses[0], rtol=1e-12)
+
+
+def test_stl_estimator_converges_to_same_posterior():
+    """elbo_estimator='stl' (sticking the landing): unbiased, pathwise-only
+    gradients — must converge to the same analytic posterior as the
+    standard estimator, with a LOWER-variance gradient at the optimum."""
+    x, surrogate, energy = _gaussian_problem()
+    n = len(x)
+    post_mean = x.sum() / (n + 1)
+    data = ArrayDataset({"counts": x}).batch(64)
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=32, num_steps=300, learning_rate=0.05,
+        rel_tol=None, verbose=False, dtype=jnp.float64, seed=0,
+        elbo_estimator="stl",
+    )
+    loc = float(result.params["z"]["loc"][0, 0])
+    np.testing.assert_allclose(loc, post_mean, atol=0.1)
+
+    # gradient variance at the (near-)optimum: STL strictly smaller
+    batch = {"counts": jnp.asarray(x)}
+
+    def grad_at(params, key, stl):
+        def loss(p):
+            if stl:
+                s = surrogate.sample(p, key, (4,))
+                p_stop = jax.tree_util.tree_map(jax.lax.stop_gradient, p)
+                lq = surrogate.log_prob(p_stop, s)
+            else:
+                s, lq = surrogate.sample_and_log_prob(p, key, (4,))
+            return -jnp.mean(energy(batch, s, 1.0) - lq)
+
+        g = jax.grad(loss)(params)
+        return float(g["z"]["raw_scale"][0, 0])
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 64)
+    g_std = np.var([grad_at(result.params, k, False) for k in keys])
+    g_stl = np.var([grad_at(result.params, k, True) for k in keys])
+    assert g_stl < g_std, (g_stl, g_std)
