@@ -486,3 +486,49 @@ def test_autoencoder_trains_on_dp_mesh():
     dp = run(data_parallel_mesh(8))
     assert np.isfinite(dp).all()
     np.testing.assert_allclose(dp, ref, rtol=1e-8)
+
+
+def test_coo_dense_scatter_composes_with_dp_mesh():
+    """sparse_dense_scatter=True under a dp mesh: the on-device scatter
+    feeds the mesh dense path and must equal the single-device dense
+    energy exactly."""
+    from spmf_tpu.data import SparseCounts
+
+    dense = RNG.poisson(0.6, (32, 10)).astype(np.float64)
+    sp = SparseCounts.from_dense(dense)
+
+    def build(mesh):
+        m = PoissonFactorization(
+            latent_dim=3, feature_dim=10, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, sparse_dense_scatter=True, mesh=mesh,
+        )
+        return m
+
+    single = build(None)
+    mesh = data_parallel_mesh(8)
+    meshed = build(mesh)
+    meshed.surrogate_params = single.surrogate_params
+    key = jax.random.PRNGKey(2)
+    samples, _ = single._surrogate.sample_and_log_prob(
+        single.surrogate_params, key, (3,)
+    )
+    rows, cols, vals = sp.batch_coo(np.arange(32))
+    pad = -(-(len(vals) + 16) // 8) * 8  # divisible by dp=8 for shard_batch
+    coo = {
+        "coo_rows": np.zeros(pad, np.int32),
+        "coo_cols": np.zeros(pad, np.int32),
+        "coo_vals": np.zeros(pad),
+        "indices": np.arange(32),
+    }
+    coo["coo_rows"][:len(vals)] = rows
+    coo["coo_cols"][:len(vals)] = cols
+    coo["coo_vals"][:len(vals)] = vals
+
+    ref = np.asarray(
+        single.unormalized_log_prob(
+            data={"counts": dense, "indices": np.arange(32)}, **samples
+        )
+    )
+    got = np.asarray(meshed.unormalized_log_prob(data=shard_batch(coo, mesh),
+                                                 **samples))
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
