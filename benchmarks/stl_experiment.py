@@ -65,9 +65,9 @@ def run(estimator):
     def grad_u(params, key):
         def loss(p):
             if estimator == "stl":
-                s = sur.sample(p, key, (8,))
                 p_stop = jax.tree_util.tree_map(jax.lax.stop_gradient, p)
-                lq = sur.log_prob(p_stop, s)
+                s, lq = sur.sample_and_log_prob(p, key, (8,),
+                                                logq_params=p_stop)
             else:
                 s, lq = sur.sample_and_log_prob(p, key, (8,))
             lp = m.unormalized_log_prob(data=batch, **s)

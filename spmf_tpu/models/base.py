@@ -150,13 +150,18 @@ class BayesianModel:
         factory = as_data_factory(batched_data_factory) or self.data
         if factory is None:
             raise ValueError("No data bound: pass batched_data_factory or set_data()")
-        engine_kwargs = {
-            k: kwargs[k]
-            for k in ("profile_dir", "remat_sampling", "convergence_window",
-                      "opt_state", "param_sharding", "decay_schedule",
-                      "prefetch", "resume_from", "elbo_estimator")
-            if k in kwargs
-        }
+        allowed = ("profile_dir", "remat_sampling", "convergence_window",
+                   "opt_state", "param_sharding", "decay_schedule",
+                   "prefetch", "resume_from", "elbo_estimator")
+        unknown = set(kwargs) - set(allowed)
+        if unknown:
+            # a silently-ignored typo (resume_frm=...) would discard the
+            # user's checkpointed progress without any signal
+            raise TypeError(
+                f"fit() got unknown keyword argument(s) {sorted(unknown)}; "
+                f"engine options: {sorted(allowed)}"
+            )
+        engine_kwargs = {k: kwargs[k] for k in allowed if k in kwargs}
         result = fit_surrogate_posterior(
             energy_fn=self._energy,
             surrogate=self._surrogate,

@@ -217,15 +217,28 @@ def fit_surrogate_posterior(
         path = resume_from
         if os.path.isdir(path):
             import glob
+            import re
+
+            def _epoch_tag(p):
+                # checkpoints are {run_id}-{epoch}.npz: order by the epoch
+                # tag, NOT mtime — restoring a checkpoint dir to a fresh
+                # node (cp -r / gsutil) rewrites mtimes in arbitrary order
+                m = re.search(r"-(\d+)\.npz$", os.path.basename(p))
+                return (int(m.group(1)) if m else -1, os.path.getmtime(p))
 
             cands = sorted(
                 glob.glob(os.path.join(path, "**", "*.npz"), recursive=True),
-                key=os.path.getmtime,
+                key=_epoch_tag,
             )
             if not cands:
                 raise FileNotFoundError(f"no .npz checkpoints under {path}")
             path = cands[-1]
-        params = load_pytree(path, like=params)
+        loaded = load_pytree(path, like=params)
+        # cast to the engine dtypes (a checkpoint from an f32 TPU run must
+        # not silently downgrade an f64 parity refit)
+        params = jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(a, jnp.asarray(b).dtype), loaded, params
+        )
         say(f"Resumed surrogate params from {path}")
 
     # Mesh placement (SURVEY.md §5.7/5.8): rows over 'dp'; with
@@ -267,13 +280,18 @@ def fit_surrogate_posterior(
         # "sticking the landing" (Roeder et al. 2017): evaluate log q with
         # STOPPED variational parameters so only the pathwise sample term
         # carries gradient — drops the score term (zero in expectation),
-        # removing its variance, which dominates near the optimum. Unbiased;
-        # logq is recomputed outside the joint samplers (parameter-sized,
-        # ~1 ms at D=20k). Measured: docs/stl_experiment.json.
+        # removing its variance, which dominates near the optimum.
+        # Unbiased; the density is evaluated in PRE-bijector space via the
+        # samplers' logq_params seam (a constrained-space inverse would
+        # clamp softplus-floored samples and overflow their gradients).
+        # Measured on the parity config: SLOWER convergence here — the
+        # score term acts as a control variate for the heavy-tailed
+        # horseshoe auxiliaries (docs/stl_experiment.json); opt-in.
         def draw(p_, k_):
-            samples = surrogate.sample(p_, k_, (sample_size,))
             p_stop = jax.tree_util.tree_map(jax.lax.stop_gradient, p_)
-            return samples, surrogate.log_prob(p_stop, samples)
+            return surrogate.sample_and_log_prob(
+                p_, k_, (sample_size,), logq_params=p_stop
+            )
     elif elbo_estimator == "standard":
         draw = lambda p_, k_: surrogate.sample_and_log_prob(p_, k_, (sample_size,))
     else:

@@ -301,8 +301,9 @@ class SurrogatePosterior:
             )
         return values, (logq if sample_shape else logq[0])
 
-    def _sample_normals(self, names, params, key, sample_shape):
-        if self._fused_normals_ok(names, sample_shape):
+    def _sample_normals(self, names, params, key, sample_shape,
+                        logq_params=None):
+        if logq_params is None and self._fused_normals_ok(names, sample_shape):
             return self._sample_normals_fused(names, params, key,
                                               sample_shape)
         values, logq = {}, 0.0
@@ -318,8 +319,15 @@ class SurrogatePosterior:
             loc = p["loc"]
             scale = _softplus.forward(p["raw_scale"])
             x = loc + scale * e
+            # STL (logq_params): density parameters come from the stopped
+            # pytree while the sample path stays live — evaluated HERE in
+            # pre-bijector space (a constrained-space inverse would clamp
+            # softplus-floored samples and blow up their y-gradients)
+            pq = p if logq_params is None else logq_params[n]
+            loc_q = pq["loc"]
+            scale_q = _softplus.forward(pq["raw_scale"])
             lp = _sum_event(
-                tfd.Normal(loc, scale).log_prob(x), s.event_ndims
+                tfd.Normal(loc_q, scale_q).log_prob(x), s.event_ndims
             ) - _sum_event(
                 s.bijector.forward_log_det_jacobian(x), s.event_ndims
             )
@@ -473,14 +481,17 @@ class SurrogatePosterior:
             )
         return values, (logq if sample_shape else logq[0])
 
-    def _sample_igs(self, names, params, key, sample_shape):
+    def _sample_igs(self, names, params, key, sample_shape,
+                    logq_params=None):
         from spmf_tpu.ops.gamma import sample_gamma
 
-        if self._fused_igs_sharded_ok(names, sample_shape):
-            return self._sample_igs_fused_sharded(names, params, key,
-                                                  sample_shape)
-        if self._fused_igs_ok(names, sample_shape):
-            return self._sample_igs_fused(names, params, key, sample_shape)
+        if logq_params is None:
+            if self._fused_igs_sharded_ok(names, sample_shape):
+                return self._sample_igs_fused_sharded(names, params, key,
+                                                      sample_shape)
+            if self._fused_igs_ok(names, sample_shape):
+                return self._sample_igs_fused(names, params, key,
+                                              sample_shape)
 
         values, logq = {}, 0.0
         concs = [
@@ -502,8 +513,14 @@ class SurrogatePosterior:
             gs = g[..., off : off + sz].reshape(sample_shape + s.shape)
             off += sz
             x = b / gs
+            if logq_params is None:
+                a_q, b_q = a, b
+            else:  # STL: density at the stopped parameters (pre-bijector)
+                a_q = _softplus.forward(
+                    logq_params[n]["raw_concentration"])
+                b_q = _softplus.forward(logq_params[n]["raw_scale"])
             lp = _sum_event(
-                tfd.InverseGamma(a, b).log_prob(x), s.event_ndims
+                tfd.InverseGamma(a_q, b_q).log_prob(x), s.event_ndims
             ) - _sum_event(
                 s.bijector.forward_log_det_jacobian(x), s.event_ndims
             )
@@ -512,7 +529,14 @@ class SurrogatePosterior:
         return values, logq
 
     def sample_and_log_prob(self, params, key, sample_shape=(),
-                            apply_broadcast=True):
+                            apply_broadcast=True, logq_params=None):
+        """Joint sample + log q. ``logq_params``: optional second pytree
+        the DENSITY is evaluated with (same structure), while the sample
+        path uses ``params`` — the STL estimator passes stop_gradient'd
+        params here (vi/minibatch elbo_estimator='stl'); densities stay in
+        pre-bijector space (no constrained-space inverse). Forces the XLA
+        samplers (the fused kernels compute logq in-kernel at the live
+        params)."""
         sample_shape = tuple(sample_shape)
         kn, kg, ko, kbn, kbg = jax.random.split(key, 5)
         values, logq = {}, 0.0
@@ -530,7 +554,8 @@ class SurrogatePosterior:
             (bc_igs, kbg, (), self._sample_igs),
         ):
             if names:
-                v, lp = fn(names, params, key_i, shape)
+                v, lp = fn(names, params, key_i, shape,
+                           logq_params=logq_params)
                 values.update(v)
                 logq = logq + lp
 
@@ -540,6 +565,12 @@ class SurrogatePosterior:
                 values[n], lp = self.surrogates[n].sample_and_log_prob(
                     params[n], k, sample_shape
                 )
+                if logq_params is not None:
+                    # constrained-space fallback for unclassified
+                    # surrogates (none in the shipped models)
+                    lp = self.surrogates[n].log_prob(
+                        logq_params[n], values[n]
+                    )
                 logq = logq + lp
 
         return values, jnp.broadcast_to(logq, sample_shape)

@@ -331,15 +331,9 @@ def test_resume_from_checkpoint(tmp_path):
         np.testing.assert_array_equal(a, np.asarray(b))
 
     # resume_from accepts the directory and restores those params before
-    # training: capture what the engine's first eval sees via the energy
-    seen = {}
-
-    def probe_energy(batch, samples, w):
-        seen.setdefault("called", True)
-        return energy(batch, samples, w)
-
+    # training
     r2 = fit_surrogate_posterior(
-        probe_energy, surrogate, surrogate.init(), lambda: iter(data),
+        energy, surrogate, surrogate.init(), lambda: iter(data),
         sample_size=8, num_steps=1, learning_rate=0.1, rel_tol=None,
         verbose=False, dtype=jnp.float64, seed=0,
         resume_from=str(tmp_path),
@@ -377,9 +371,9 @@ def test_stl_estimator_converges_to_same_posterior():
     def grad_at(params, key, stl):
         def loss(p):
             if stl:
-                s = surrogate.sample(p, key, (4,))
                 p_stop = jax.tree_util.tree_map(jax.lax.stop_gradient, p)
-                lq = surrogate.log_prob(p_stop, s)
+                s, lq = surrogate.sample_and_log_prob(
+                    p, key, (4,), logq_params=p_stop)
             else:
                 s, lq = surrogate.sample_and_log_prob(p, key, (4,))
             return -jnp.mean(energy(batch, s, 1.0) - lq)
@@ -391,3 +385,33 @@ def test_stl_estimator_converges_to_same_posterior():
     g_std = np.var([grad_at(result.params, k, False) for k in keys])
     g_stl = np.var([grad_at(result.params, k, True) for k in keys])
     assert g_stl < g_std, (g_stl, g_std)
+
+
+def test_stl_logq_params_seam_matches_log_prob_and_is_stable():
+    """logq_params: the density uses the second pytree while the sample
+    path stays live; the value equals surrogate.log_prob at those params
+    (same draws), computed WITHOUT a constrained-space inverse."""
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import ArrayDataset
+
+    rng = np.random.default_rng(0)
+    Xc = rng.poisson(1.0, (50, 5))
+    data = ArrayDataset({"counts": Xc, "indices": np.arange(50)}).batch(50)
+    m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                             dtype="float64", data=data)
+    sur = m._surrogate
+    p = m.surrogate_params
+    # a DIFFERENT params pytree for the density
+    p2 = jax.tree_util.tree_map(lambda a: a + 0.1, p)
+    key = jax.random.PRNGKey(4)
+    s, lq = sur.sample_and_log_prob(p, key, (3,), logq_params=p2)
+    # same draws (same key/path), density at p2: agrees with the
+    # constrained-space log_prob away from the underflow region
+    lq_ref = sur.log_prob(p2, s)
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lq_ref),
+                               rtol=1e-8)
+    # and the samples themselves equal the plain path's samples
+    s0, _ = sur.sample_and_log_prob(p, key, (3,))
+    for n in s0:
+        np.testing.assert_allclose(np.asarray(s[n]), np.asarray(s0[n]),
+                                   rtol=1e-12)
