@@ -33,6 +33,7 @@ class SparseCounts:
         self.count_key = "counts"
         self._coo = False
         self._max_nnz = None
+        self._pad_bs = None  # batch size an auto-computed _max_nnz was sized for
 
     # ------------------------------------------------------------ builders
     @classmethod
@@ -169,12 +170,16 @@ class SparseCounts:
         """Static padding: batch-mean nnz + 8 sigma + one max row, rounded
         up to 1024 (overflow falls back to the next multiple — rare, costs
         one recompile)."""
-        if self._max_nnz is not None:
+        if self._max_nnz is not None and self._pad_bs in (None, bs):
+            # user-supplied (pad_bs None) or auto pad cached for this bs —
+            # an auto pad computed for a SMALLER batch size must recompute,
+            # not silently undersize
             return int(self._max_nnz)
         row_nnz = np.diff(self.indptr)
         est = bs * row_nnz.mean() + 8.0 * np.sqrt(bs) * row_nnz.std() \
             + row_nnz.max()
         self._max_nnz = int(-(-est // 1024) * 1024)
+        self._pad_bs = bs
         return self._max_nnz
 
     def _coo_batch(self, sl, pad):

@@ -556,26 +556,26 @@ class PoissonFactorization(BayesianModel):
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
 
         if isinstance(data, dict) and "coo_vals" in data:
+            # TPU-native sparse: scatter the COO triplets into a dense
+            # (B, D) slab ON DEVICE and take the fused MXU-dense path.
+            # Measured (docs/sparse_bench.json r3): the gather-dot/
+            # segment-sum COO energy is gather-bound on TPU (~1.6M
+            # nnz/sec regardless of batch size — per-nnz gathers run
+            # on the VPU), while the dense kernel streams B x D cells
+            # through the MXU at ~6e9 cells/sec; below ~1% density
+            # the "wasted" dense FLOPs are far cheaper than gathers.
+            # Storage stays sparse (host CSR / HBM triplets); only
+            # the transient batch slab is dense.
             if self._sparse_dense_scatter(data["indices"].shape[0]):
-                # TPU-native sparse: scatter the COO triplets into a dense
-                # (B, D) slab ON DEVICE and take the fused MXU-dense path.
-                # Measured (docs/sparse_bench.json r3): the gather-dot/
-                # segment-sum COO energy is gather-bound on TPU (~1.6M
-                # nnz/sec regardless of batch size — per-nnz gathers run
-                # on the VPU), while the dense kernel streams B x D cells
-                # through the MXU at ~6e9 cells/sec; below ~1% density
-                # the "wasted" dense FLOPs are far cheaper than gathers.
-                # Zero padding scatters 0 += 0 into cell (0, 0) — exact.
-                # Storage stays sparse (host CSR / HBM triplets); only
-                # the transient batch slab is dense.
-                B = data["indices"].shape[0]
-                D = self.feature_dim
-                x = jnp.zeros((B, D), self.dtype).at[
-                    data["coo_rows"], data["coo_cols"]
-                ].add(jnp.asarray(data["coo_vals"], self.dtype))
-                data = dict(data, **{self.count_key: x})
-            else:
+                data = self._densify_coo(data, enforce_slab_limit=False)
+            elif self._coo_energy_supported():
                 return self._coo_log_prob_parts(data, prior_parts, params)
+            else:
+                # subclass with a non-Poisson observation model: the gather
+                # COO energy would silently train the wrong likelihood —
+                # densify (slab-checked) and take the generic dense path,
+                # which dispatches through the subclass's own machinery
+                data = self._densify_coo(data)
 
         theta = self.encode(self._counts(data), params["u"], params["s"])
         prior_parts["z"] = self._theta_prior_log_prob(theta)
@@ -662,19 +662,77 @@ class PoissonFactorization(BayesianModel):
     def _sparse_dense_scatter(self, batch_rows=None):
         """Whether COO batches take the dense-scatter + fused-MXU path
         (see unormalized_log_prob_parts). 'auto'/None: yes when the fused
-        kernel is active (TPU) AND the transient (B, D) slab stays under
+        kernel is active for the densified (B, D) batch shape (TPU; the
+        shape matters — a non-mesh-divisible B would densify into the
+        unfused XLA fallback, which materializes the (S, B, D) rate tensor
+        the COO energy exists to avoid) AND the transient slab stays under
         _DENSE_SCATTER_MAX_SLAB_BYTES; the gather-dot COO energy stays the
         CPU/XLA-fallback and very-wide-D (slab-doesn't-fit) path,
         forceable with sparse_dense_scatter=True/False."""
         mode = self.sparse_dense_scatter
         if mode in (None, "auto"):
+            shape = None
             if batch_rows is not None and self.feature_dim:
                 slab = int(batch_rows) * int(self.feature_dim) \
                     * jnp.dtype(self.dtype).itemsize
                 if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
                     return False
-            return self._can_fuse()
+                shape = (int(batch_rows), int(self.feature_dim))
+            return self._can_fuse(shape)
         return bool(mode)
+
+    def _densify_coo(self, batch, enforce_slab_limit=True):
+        """Scatter a COO batch's triplets into a transient dense (B, D)
+        slab on device, returning a dense-count batch dict. Zero padding
+        scatters 0 += 0 into cell (0, 0) — exact."""
+        B = batch["indices"].shape[0]
+        D = int(self.feature_dim)
+        if enforce_slab_limit:
+            slab = B * D * jnp.dtype(self.dtype).itemsize
+            if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
+                raise ValueError(
+                    f"this path needs a transient dense ({B}, {D}) slab "
+                    f"({slab / 2**30:.1f} GiB > "
+                    f"{self._DENSE_SCATTER_MAX_SLAB_BYTES / 2**30:.0f} GiB "
+                    "ceiling) — use a smaller batch size (or raise "
+                    "_DENSE_SCATTER_MAX_SLAB_BYTES)"
+                )
+        x = jnp.zeros((B, D), self.dtype).at[
+            batch["coo_rows"], batch["coo_cols"]
+        ].add(jnp.asarray(batch["coo_vals"], self.dtype))
+        return dict(batch, **{self.count_key: x})
+
+    def _coo_energy_supported(self):
+        """Whether the gather COO energy (_coo_log_prob_parts) computes this
+        model's likelihood. Its math is the stock Poisson observation model
+        with the identity/log decode link baked in — the same MRO rule as
+        _fusion_check: the class defining _coo_log_prob_parts vouches only
+        for observation machinery at or above it, so a subclass swapping the
+        likelihood (Bernoulli/Mixed/Normal-obs) without re-owning the COO
+        energy must not silently train Poisson."""
+        mro = type(self).__mro__
+
+        def _def_depth(name):
+            for i, c in enumerate(mro):
+                if name in c.__dict__:
+                    return i
+            return len(mro)
+
+        coo_depth = _def_depth("_coo_log_prob_parts")
+        for hook in ("_observation_distribution", "log_likelihood_components",
+                     "_fused_x_part", "_fused_kind", "encode"):
+            if _def_depth(hook) < coo_depth:
+                return False
+        # both links are baked into the gather math (sparse_encode_coo takes
+        # log_transform directly, the nz rate uses the stock decode), so
+        # instance- or class-level encoder/decoder overrides invalidate it
+        for fn in ("decoder_function", "encoder_function"):
+            if fn in self.__dict__ or (
+                getattr(type(self), fn)
+                is not getattr(PoissonFactorization, fn)
+            ):
+                return False
+        return True
 
     def _coo_log_prob_parts(self, data, prior_parts, params):
         """Sparse (COO) energy: trains on padded triplet batches without
@@ -810,6 +868,7 @@ class PoissonFactorization(BayesianModel):
         (``fused_likelihood=True``), a one-time UserWarning fires."""
         ok, reason = self._fusion_check(batch_shape)
         self.fusion_inactive_reason = reason
+        self._fusion_last_ok = ok
         if not ok and self.fused_likelihood and not getattr(
             self, "_fusion_warned", False
         ):
@@ -826,9 +885,15 @@ class PoissonFactorization(BayesianModel):
 
     @property
     def fusion_active(self):
-        """True when the energy will take the fused Pallas kernel path (as
-        of the last ``_can_fuse`` evaluation; see fusion_inactive_reason)."""
-        return self._can_fuse()
+        """Fusion state AS OF THE LAST ``_can_fuse`` evaluation (see
+        fusion_inactive_reason) — reading it must not re-evaluate without
+        the batch shape and clobber a shape-based rejection recorded when
+        the actual training batch was dispatched. Evaluates once (shape-
+        less) only if no dispatch has happened yet."""
+        last = getattr(self, "_fusion_last_ok", None)
+        if last is None:
+            return self._can_fuse()
+        return last
 
     def _fusion_check(self, batch_shape=None):
         """(ok, reason) for the fused-kernel eligibility rules."""
@@ -897,20 +962,7 @@ class PoissonFactorization(BayesianModel):
             # WAIC over sparse (COO) batches: densify the slab on device
             # (same scatter as the training path) — per-row log-likelihoods
             # need every cell's -rate term anyway
-            B = batch["indices"].shape[0]
-            slab = B * int(self.feature_dim) * jnp.dtype(self.dtype).itemsize
-            if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
-                raise ValueError(
-                    f"per-row log-likelihood over a COO batch needs a "
-                    f"transient dense ({B}, {self.feature_dim}) slab "
-                    f"({slab / 2**30:.1f} GiB > "
-                    f"{self._DENSE_SCATTER_MAX_SLAB_BYTES / 2**30:.0f} GiB)"
-                    " — evaluate waic() with a smaller batch size"
-                )
-            x = jnp.zeros((B, self.feature_dim), self.dtype).at[
-                batch["coo_rows"], batch["coo_cols"]
-            ].add(jnp.asarray(batch["coo_vals"], self.dtype))
-            batch = dict(batch, **{self.count_key: x})
+            batch = self._densify_coo(batch)
         if self._can_fuse() and self.mesh is None:
             # stream per-row sums tile-by-tile (no (S,B,D) tensor) — WAIC
             # at D=20k with 100 posterior samples would otherwise

@@ -88,11 +88,13 @@ FLOOR = -1e27       # static clip-bound floor (see _floor_min_val)
 CODE_POISSON, CODE_BERNOULLI, CODE_NORMAL = 0.0, 1.0, 2.0
 
 
-def _check_likelihood(likelihood):
+def _check_likelihood(likelihood, codes="unchecked"):
     """Validate the static likelihood selector. An unrecognized value used
     to fall through to the Poisson branch silently (r2 advisor finding:
     MixedFactorization WAIC returned Poisson log-lik — NaN on negative
-    rates — for every column); now it is a hard error."""
+    rates — for every column); now it is a hard error. Likewise
+    ``('mixed', s)`` without a per-column ``codes`` lane would zero-fill to
+    all-Poisson (_prep), so entry points pass ``codes`` to reject that."""
     if likelihood in ("poisson", "bernoulli", "poisson_softplus"):
         return
     if (
@@ -101,6 +103,12 @@ def _check_likelihood(likelihood):
         and likelihood[0] in ("normal", "mixed")
         and isinstance(likelihood[1], (int, float))
     ):
+        if likelihood[0] == "mixed" and codes is None:
+            raise ValueError(
+                "likelihood=('mixed', obs_scale) requires the per-column "
+                "codes lane (codes=None would default every column to "
+                "Poisson)"
+            )
         return
     raise ValueError(
         f"unknown likelihood {likelihood!r}: expected 'poisson', "
@@ -516,7 +524,7 @@ def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
     (CODE_POISSON/CODE_BERNOULLI/CODE_NORMAL). Single-device path; for
     mesh execution use ``fused_poisson_loglik_sharded``.
     """
-    _check_likelihood(likelihood)
+    _check_likelihood(likelihood, codes)
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
     ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, codes,
                                    log_transform, interpret, likelihood)
@@ -543,7 +551,7 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     """
     from jax.sharding import PartitionSpec as P
 
-    _check_likelihood(likelihood)
+    _check_likelihood(likelihood, codes)
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
     dp = data_axis if data_axis in mesh.axis_names and mesh.shape[data_axis] > 1 else None
     fp = (feature_axis
@@ -618,7 +626,7 @@ def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
     pointwise unit — computed tile-by-tile without materializing (S,B,D).
     Keep S small (<= ~16): theta/v blocks carry the full sample dim in
     VMEM; stream larger posterior-sample counts in chunks (vi/waic.py)."""
-    _check_likelihood(likelihood)
+    _check_likelihood(likelihood, codes)
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
     S, B, K = theta.shape
     D = x.shape[-1]

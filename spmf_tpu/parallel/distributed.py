@@ -47,7 +47,18 @@ def global_mesh(axis_names=("dp",), shape=None):
 
 
 def process_local_rows(n_global_rows: int):
-    """(start, stop) row range this host should feed for a dp-sharded batch."""
+    """(start, stop) row range this host should feed for a dp-sharded batch.
+
+    The global batch must divide evenly over processes — silently flooring
+    would drop the remainder rows from training with no signal (use
+    ``drop_remainder=True`` batching, the standard pod-feeding layout)."""
+    if n_global_rows % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch of {n_global_rows} rows does not divide over "
+            f"{jax.process_count()} processes; batch with "
+            "drop_remainder=True (or pad) so every host feeds an equal "
+            "row shard"
+        )
     per = n_global_rows // jax.process_count()
     start = per * jax.process_index()
     return start, start + per

@@ -211,20 +211,22 @@ def fit_surrogate_posterior(
     if dataset_size is not None and batch_size is not None:
         prior_weight = float(batch_size) / float(dataset_size)
 
+    epoch_offset = 0
     if resume_from is not None:
+        import re
+
         from spmf_tpu.utils.checkpoint import load_pytree
+
+        def _epoch_tag(p):
+            # checkpoints are {run_id}-{epoch}.npz: order by the epoch
+            # tag, NOT mtime — restoring a checkpoint dir to a fresh
+            # node (cp -r / gsutil) rewrites mtimes in arbitrary order
+            m = re.search(r"-(\d+)\.npz$", os.path.basename(p))
+            return (int(m.group(1)) if m else -1, os.path.getmtime(p))
 
         path = resume_from
         if os.path.isdir(path):
             import glob
-            import re
-
-            def _epoch_tag(p):
-                # checkpoints are {run_id}-{epoch}.npz: order by the epoch
-                # tag, NOT mtime — restoring a checkpoint dir to a fresh
-                # node (cp -r / gsutil) rewrites mtimes in arbitrary order
-                m = re.search(r"-(\d+)\.npz$", os.path.basename(p))
-                return (int(m.group(1)) if m else -1, os.path.getmtime(p))
 
             cands = sorted(
                 glob.glob(os.path.join(path, "**", "*.npz"), recursive=True),
@@ -233,6 +235,11 @@ def fit_surrogate_posterior(
             if not cands:
                 raise FileNotFoundError(f"no .npz checkpoints under {path}")
             path = cands[-1]
+        # continue the global epoch numbering: this run's checkpoint tags
+        # start where the restored one left off, so tag-major ordering stays
+        # monotonic across repeated preemptions (a second resume must prefer
+        # run 2's epoch-10 checkpoint over run 1's epoch-50 one)
+        epoch_offset = max(_epoch_tag(path)[0], 0)
         loaded = load_pytree(path, like=params)
         # cast to the engine dtypes (a checkpoint from an f32 TPU run must
         # not silently downgrade an f64 parity refit)
@@ -346,7 +353,7 @@ def fit_surrogate_posterior(
             return None
         from spmf_tpu.utils.checkpoint import save_pytree
 
-        path = os.path.join(ckpt_path, f"{run_id}-{tag}.npz")
+        path = os.path.join(ckpt_path, f"{run_id}-{int(tag) + epoch_offset}.npz")
         save_pytree(path, jax.device_get(tree_np))
         return path
 

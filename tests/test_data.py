@@ -386,3 +386,20 @@ def test_device_sparse_refuses_silent_remainder_drop():
     dev = DeviceSparseCounts(SparseCounts.from_dense(dense), batch_size=20)
     with pytest.raises(ValueError, match="drops the 10-row remainder"):
         next(iter(dev))
+
+
+def test_coo_auto_pad_tracks_batch_size():
+    """An auto-computed nnz pad is sized for a specific batch size; asking
+    for a different bs must recompute (a pad cached for a smaller batch
+    would silently undersize), while a user-supplied max_nnz is
+    authoritative for ANY batch size."""
+    dense = RNG.poisson(0.5, (60, 9)).astype(float)
+    sp = SparseCounts.from_dense(dense)
+    p_small = sp._coo_pad_size(8)
+    p_large = sp._coo_pad_size(32)
+    assert p_large >= p_small
+    # recomputed exactly as a fresh object would size it
+    assert p_large == SparseCounts.from_dense(dense)._coo_pad_size(32)
+    sp2 = SparseCounts.from_dense(dense).batch(8).as_coo(max_nnz=4096)
+    assert sp2._coo_pad_size(8) == 4096
+    assert sp2._coo_pad_size(32) == 4096

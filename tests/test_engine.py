@@ -415,3 +415,45 @@ def test_stl_logq_params_seam_matches_log_prob_and_is_stable():
     for n in s0:
         np.testing.assert_allclose(np.asarray(s[n]), np.asarray(s0[n]),
                                    rtol=1e-12)
+
+
+def test_resume_checkpoint_tags_continue_monotonic(tmp_path):
+    """A resumed run's checkpoint tags continue the restored run's epoch
+    numbering, so tag-major ordering stays monotonic across repeated
+    preemptions — a second resume must prefer the newest run's checkpoint
+    over a longer-lived earlier run's."""
+    import glob
+    import os
+    import re
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+
+    def tag(p):
+        return int(re.search(r"-(\d+)\.npz$", os.path.basename(p)).group(1))
+
+    def files():
+        return set(glob.glob(os.path.join(str(tmp_path), "**", "*.npz"),
+                             recursive=True))
+
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    first = files()
+    assert first
+    hi = max(tag(p) for p in first)
+    # run 2 resumes and checkpoints into the same directory (the
+    # preemption-recovery layout); epoch 1 always improves on the fresh
+    # best=inf so at least one new checkpoint is written
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=2, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=1,
+        checkpoint_dir=str(tmp_path), resume_from=str(tmp_path),
+    )
+    new = files() - first
+    assert new
+    assert min(tag(p) for p in new) > hi

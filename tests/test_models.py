@@ -479,3 +479,81 @@ def test_fusion_fallback_warns_once_with_reason():
         assert not m2._can_fuse()
     assert not caught
     assert "fused_likelihood=False" in m2.fusion_inactive_reason
+
+
+def _coo_batch_from(dense, extra_pad=13):
+    from spmf_tpu.data.sparse import SparseCounts
+
+    sp = SparseCounts.from_dense(dense)
+    ids = np.arange(dense.shape[0])
+    rows, cols, vals = sp.batch_coo(ids)
+    pad = len(vals) + extra_pad
+    batch = {"coo_rows": np.zeros(pad, np.int32),
+             "coo_cols": np.zeros(pad, np.int32),
+             "coo_vals": np.zeros(pad),
+             "indices": ids}
+    batch["coo_rows"][:len(vals)] = rows
+    batch["coo_cols"][:len(vals)] = cols
+    batch["coo_vals"][:len(vals)] = vals
+    return batch
+
+
+def test_bernoulli_coo_batch_densifies_not_poisson_energy():
+    """A COO batch fed to a model whose likelihood is NOT the stock Poisson
+    must go through the on-device densify + the subclass's own dense
+    machinery — the gather COO energy computes Poisson math only, and
+    routing a Bernoulli model through it would silently train the wrong
+    likelihood."""
+    Xb = (RNG.random((40, D)) < 0.3).astype(np.float64)
+    data = ArrayDataset({"counts": Xb, "indices": np.arange(40)}).batch(40)
+    m = BernoulliFactorization(latent_dim=2, feature_dim=D, u_tau_scale=0.1,
+                               dtype="float64", data=data)
+    assert not m._coo_energy_supported()
+    key = jax.random.PRNGKey(0)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (2,))
+    lp_d = m.unormalized_log_prob(
+        data={"counts": Xb, "indices": np.arange(40)}, **samples)
+    lp_c = m.unormalized_log_prob(data=_coo_batch_from(Xb), **samples)
+    np.testing.assert_allclose(np.asarray(lp_c), np.asarray(lp_d), rtol=1e-12)
+
+
+def test_custom_encoder_disables_coo_energy():
+    """The gather COO energy bakes in the stock encode link
+    (sparse_encode_coo takes log_transform directly); a custom
+    encoder_function must route COO batches through densify so the
+    override actually applies."""
+    stock = PoissonFactorization(latent_dim=2, feature_dim=D, u_tau_scale=0.1,
+                                 dtype="float64", data=DATA)
+    assert stock._coo_energy_supported()
+    m = PoissonFactorization(latent_dim=2, feature_dim=D, u_tau_scale=0.1,
+                             dtype="float64", data=DATA,
+                             encoder_function=lambda x: jnp.sqrt(x + 1.0))
+    assert not m._coo_energy_supported()
+    Xc = X[:40].astype(np.float64)
+    key = jax.random.PRNGKey(1)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (2,))
+    lp_d = m.unormalized_log_prob(
+        data={"counts": Xc, "indices": np.arange(40)}, **samples)
+    lp_c = m.unormalized_log_prob(data=_coo_batch_from(Xc), **samples)
+    np.testing.assert_allclose(np.asarray(lp_c), np.asarray(lp_d), rtol=1e-12)
+
+
+def test_fusion_active_reports_last_dispatch():
+    """fusion_active reflects the LAST _can_fuse evaluation — reading the
+    property must not re-evaluate shapeless and clobber a shape-based
+    rejection recorded when the training batch was dispatched."""
+    import warnings
+
+    from spmf_tpu.parallel import data_parallel_mesh
+
+    m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                             dtype="float64", scale_columns=False,
+                             fused_likelihood=True)
+    m.mesh = data_parallel_mesh(2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert not m._can_fuse(batch_shape=(7, 5))
+    assert m.fusion_active is False
+    assert "divide" in m.fusion_inactive_reason
+    assert m._can_fuse(batch_shape=(8, 5))
+    assert m.fusion_active is True

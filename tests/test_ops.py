@@ -345,3 +345,12 @@ def test_mixed_codes_kernel_matches_per_family_kernels():
     m = float(_floor_min_val(jnp.float32(gmin - 10.0)))
     expected = ssum + cnt * m
     np.testing.assert_allclose(np.asarray(out_mixed), expected, rtol=1e-5)
+
+
+def test_fused_mixed_likelihood_requires_codes():
+    """('mixed', s) without the per-column codes lane would zero-fill to
+    all-Poisson (_prep) — rejected at the entry point."""
+    theta, v, phi, x, eta = _inputs()
+    with pytest.raises(ValueError, match="codes"):
+        fused_poisson_loglik(theta, v, phi, x, eta, False, True,
+                             likelihood=("mixed", 1.0), codes=None)

@@ -115,3 +115,16 @@ def test_orbax_checkpointer_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out["a"]["loc"]),
                                np.asarray(tree["a"]["loc"]))
     ckpt.close()
+
+
+def test_process_local_rows_multi_process(monkeypatch):
+    """Multi-host feeding seam: even split returns this host's row range;
+    a non-divisible global batch is a hard error (silently flooring would
+    drop the remainder rows from training with no signal)."""
+    from spmf_tpu.parallel import distributed
+
+    monkeypatch.setattr(distributed.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(distributed.jax, "process_index", lambda: 1)
+    assert distributed.process_local_rows(8) == (2, 4)
+    with pytest.raises(ValueError, match="divide"):
+        distributed.process_local_rows(10)
