@@ -151,6 +151,10 @@ class SparseCounts:
         recompiles). The model trains without ever densifying (B, D)."""
         self._coo = True
         self._max_nnz = max_nnz
+        # a user-supplied pad is authoritative for ANY batch size; clearing
+        # the auto-pad provenance also discards a stale auto pad sized for
+        # an earlier batch size
+        self._pad_bs = None
         return self
 
     def to_device(self, max_nnz=None, dtype=None):
@@ -159,11 +163,15 @@ class SparseCounts:
         on-device gather, eliminating the host-side repeat/cumsum/copy
         that serialized with the device step on a 1-core host (the r2
         sparse-path bottleneck). Preserves shuffle/batch settings."""
+        if max_nnz is None and self._pad_bs is None:
+            # forward only a USER-supplied host pad (authoritative for any
+            # batch size); an auto pad was sized for a specific batch size
+            # and must be recomputed device-side per the batch actually used
+            max_nnz = self._max_nnz
         return DeviceSparseCounts(
             self, batch_size=self._batch_size, shuffle=self._shuffle,
             seed=self._seed or 0, drop_remainder=self._drop_remainder,
-            max_nnz=max_nnz if max_nnz is not None else self._max_nnz,
-            dtype=dtype,
+            max_nnz=max_nnz, dtype=dtype,
         )
 
     def _coo_pad_size(self, bs):
@@ -260,6 +268,7 @@ class DeviceSparseCounts:
         self._seed = seed
         self._drop_remainder = drop_remainder
         self._max_nnz = max_nnz
+        self._pad_bs = None  # stays None for a user-supplied max_nnz
         self._epoch = 0
         self._pending_nnz = []
 
@@ -288,8 +297,14 @@ class DeviceSparseCounts:
         return self._host.density
 
     def _pad(self, bs):
-        if self._max_nnz is None:
-            self._max_nnz = self._host._coo_pad_size(bs)
+        # same contract as SparseCounts._coo_pad_size: a user-supplied pad
+        # (ctor max_nnz, _pad_bs stays None) is authoritative for any batch
+        # size; an auto pad recomputes when the batch size changes (a pad
+        # sized for a smaller batch would silently undersize)
+        if self._max_nnz is not None and self._pad_bs in (None, bs):
+            return int(self._max_nnz)
+        self._max_nnz = self._host._coo_pad_size(bs)
+        self._pad_bs = bs
         return int(self._max_nnz)
 
     def _assemble_fn(self, pad, bs):

@@ -568,13 +568,15 @@ class PoissonFactorization(BayesianModel):
             # the transient batch slab is dense.
             if self._sparse_dense_scatter(data["indices"].shape[0]):
                 data = self._densify_coo(data, enforce_slab_limit=False)
-            elif self._coo_energy_supported():
+            elif self._coo_energy_supported() and self._coo_energy_mesh_ok():
                 return self._coo_log_prob_parts(data, prior_parts, params)
             else:
-                # subclass with a non-Poisson observation model: the gather
-                # COO energy would silently train the wrong likelihood —
-                # densify (slab-checked) and take the generic dense path,
-                # which dispatches through the subclass's own machinery
+                # densify (slab-checked) and take the generic dense path:
+                # either a subclass swapped the observation model (the
+                # gather COO energy would silently train the wrong
+                # likelihood) or the mesh has a non-dp axis the gather
+                # energy cannot shard over (it would hard-raise; the dense
+                # XLA fallback trains)
                 data = self._densify_coo(data)
 
         theta = self.encode(self._counts(data), params["u"], params["s"])
@@ -734,6 +736,16 @@ class PoissonFactorization(BayesianModel):
                 return False
         return True
 
+    def _coo_energy_mesh_ok(self):
+        """The gather COO energy shards its triplets over 'dp' only
+        (_coo_log_prob_parts raises on any other >1 mesh axis); under an
+        fp-bearing mesh COO batches must densify into the dense path
+        instead of crashing."""
+        if self.mesh is None:
+            return True
+        return all(self.mesh.shape[ax] <= 1 or ax == "dp"
+                   for ax in self.mesh.axis_names)
+
     def _coo_log_prob_parts(self, data, prior_parts, params):
         """Sparse (COO) energy: trains on padded triplet batches without
         ever materializing the dense (B, D) slab — the nonzero term is a
@@ -855,7 +867,7 @@ class PoissonFactorization(BayesianModel):
             self._fused_interpret, likelihood=kind, codes=codes,
         )
 
-    def _can_fuse(self, batch_shape=None):
+    def _can_fuse(self, batch_shape=None, record=True):
         """Fused kernel only for the stock Poisson decode path: no subclass
         likelihood/encode overrides and no user-supplied decoder. Under a
         mesh, ``fused_poisson_loglik_sharded`` composes the kernel with the
@@ -865,10 +877,14 @@ class PoissonFactorization(BayesianModel):
         Rejections are observable (VERDICT r2 #5 — losing the ~3x kernel
         because B % dp != 0 must not be silent): the reason lands in
         ``self.fusion_inactive_reason`` and, when the user asked for fusion
-        (``fused_likelihood=True``), a one-time UserWarning fires."""
+        (``fused_likelihood=True``), a one-time UserWarning fires.
+        ``record=False`` for query-only evaluations (the WAIC path, the
+        ``fusion_active`` fallback) so they never clobber the rejection
+        recorded at the last TRAINING dispatch."""
         ok, reason = self._fusion_check(batch_shape)
-        self.fusion_inactive_reason = reason
-        self._fusion_last_ok = ok
+        if record:
+            self.fusion_inactive_reason = reason
+            self._fusion_last_ok = ok
         if not ok and self.fused_likelihood and not getattr(
             self, "_fusion_warned", False
         ):
@@ -892,7 +908,7 @@ class PoissonFactorization(BayesianModel):
         less) only if no dispatch has happened yet."""
         last = getattr(self, "_fusion_last_ok", None)
         if last is None:
-            return self._can_fuse()
+            return self._can_fuse(record=False)
         return last
 
     def _fusion_check(self, batch_shape=None):
@@ -963,7 +979,7 @@ class PoissonFactorization(BayesianModel):
             # (same scatter as the training path) — per-row log-likelihoods
             # need every cell's -rate term anyway
             batch = self._densify_coo(batch)
-        if self._can_fuse() and self.mesh is None:
+        if self._can_fuse(record=False) and self.mesh is None:
             # stream per-row sums tile-by-tile (no (S,B,D) tensor) — WAIC
             # at D=20k with 100 posterior samples would otherwise
             # materialize ~8 GB per batch (docs/ROADMAP.md item 7)

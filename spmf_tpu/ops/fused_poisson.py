@@ -88,13 +88,14 @@ FLOOR = -1e27       # static clip-bound floor (see _floor_min_val)
 CODE_POISSON, CODE_BERNOULLI, CODE_NORMAL = 0.0, 1.0, 2.0
 
 
-def _check_likelihood(likelihood, codes="unchecked"):
+def _check_likelihood(likelihood, codes):
     """Validate the static likelihood selector. An unrecognized value used
     to fall through to the Poisson branch silently (r2 advisor finding:
     MixedFactorization WAIC returned Poisson log-lik — NaN on negative
     rates — for every column); now it is a hard error. Likewise
     ``('mixed', s)`` without a per-column ``codes`` lane would zero-fill to
-    all-Poisson (_prep), so entry points pass ``codes`` to reject that."""
+    all-Poisson (_prep), so ``codes`` is REQUIRED here — every entry point
+    threads the value it will hand to _prep."""
     if likelihood in ("poisson", "bernoulli", "poisson_softplus"):
         return
     if (

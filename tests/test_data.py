@@ -403,3 +403,44 @@ def test_coo_auto_pad_tracks_batch_size():
     sp2 = SparseCounts.from_dense(dense).batch(8).as_coo(max_nnz=4096)
     assert sp2._coo_pad_size(8) == 4096
     assert sp2._coo_pad_size(32) == 4096
+
+
+def test_device_sparse_pad_tracks_batch_size_and_user_override():
+    """DeviceSparseCounts: an auto pad recomputes for a different batch
+    size (same undersize hazard as the host path), a user-supplied max_nnz
+    is authoritative for any batch size, and to_device() must NOT forward
+    a host auto pad as if the user had chosen it."""
+    from spmf_tpu.data import DeviceSparseCounts
+
+    dense = RNG.poisson(0.5, (60, 9)).astype(float)
+
+    sp = SparseCounts.from_dense(dense).batch(8).as_coo()
+    sp._coo_pad_size(8)  # simulate prior iteration at bs=8
+    dev = sp.to_device()
+    assert dev._max_nnz is None  # auto pad not forwarded as user-supplied
+    p8 = dev._pad(8)
+    p32 = dev._pad(32)
+    assert p32 >= p8
+    assert p32 == SparseCounts.from_dense(dense)._coo_pad_size(32)
+
+    dev_u = SparseCounts.from_dense(dense).batch(8).as_coo(
+        max_nnz=4096).to_device()
+    assert dev_u._pad(8) == 4096
+    assert dev_u._pad(32) == 4096
+
+    dev_kw = DeviceSparseCounts(SparseCounts.from_dense(dense),
+                                batch_size=8, max_nnz=2048)
+    assert dev_kw._pad(8) == 2048
+    assert dev_kw._pad(32) == 2048
+
+
+def test_as_coo_user_pad_overrides_stale_auto_pad():
+    """as_coo(max_nnz=...) after an auto pad was computed for some batch
+    size must be honored for ANY batch size (the stale auto-pad provenance
+    is cleared)."""
+    dense = RNG.poisson(0.5, (60, 9)).astype(float)
+    sp = SparseCounts.from_dense(dense).batch(8).as_coo()
+    sp._coo_pad_size(8)  # auto pad cached for bs=8
+    sp.as_coo(max_nnz=65536).batch(32)
+    assert sp._coo_pad_size(32) == 65536
+    assert sp._coo_pad_size(8) == 65536

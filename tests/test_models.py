@@ -557,3 +557,23 @@ def test_fusion_active_reports_last_dispatch():
     assert "divide" in m.fusion_inactive_reason
     assert m._can_fuse(batch_shape=(8, 5))
     assert m.fusion_active is True
+
+
+def test_waic_query_does_not_clobber_fusion_record():
+    """_can_fuse(record=False) (the WAIC/query path) must not overwrite
+    the rejection recorded at the last training dispatch."""
+    import warnings
+
+    from spmf_tpu.parallel import data_parallel_mesh
+
+    m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                             dtype="float64", scale_columns=False,
+                             fused_likelihood=True)
+    m.mesh = data_parallel_mesh(2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert not m._can_fuse(batch_shape=(7, 5))  # training dispatch
+    reason = m.fusion_inactive_reason
+    assert m._can_fuse(record=False)  # shapeless query passes...
+    assert m.fusion_active is False   # ...but the dispatch record stands
+    assert m.fusion_inactive_reason == reason

@@ -532,3 +532,42 @@ def test_coo_dense_scatter_composes_with_dp_mesh():
     got = np.asarray(meshed.unormalized_log_prob(data=shard_batch(coo, mesh),
                                                  **samples))
     np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_coo_batch_under_fp_mesh_densifies_instead_of_crashing():
+    """The gather COO energy shards over 'dp' only; under a dp x fp mesh a
+    COO batch whose densified shape fails the fused shape check must
+    densify into the XLA dense path (and match the dense-batch energy),
+    not hard-raise NotImplementedError from _coo_log_prob_parts."""
+    import warnings
+
+    from spmf_tpu.data.sparse import SparseCounts
+
+    rng = np.random.default_rng(0)
+    B, D, P = 7, 8, 2  # B=7 does not divide dp=4 -> fused shape rejection
+    dense = rng.poisson(0.8, (B, D)).astype(float)
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+    m = PoissonFactorization(latent_dim=P, feature_dim=D, u_tau_scale=0.1,
+                             dtype="float64", scale_columns=False,
+                             fused_likelihood=True, mesh=mesh)
+    assert m._coo_energy_supported() and not m._coo_energy_mesh_ok()
+
+    sp = SparseCounts.from_dense(dense)
+    rows, cols, vals = sp.batch_coo(np.arange(B))
+    pad = len(vals) + 5
+    coo = {"coo_rows": np.zeros(pad, np.int32),
+           "coo_cols": np.zeros(pad, np.int32),
+           "coo_vals": np.zeros(pad),
+           "indices": np.arange(B)}
+    coo["coo_rows"][:len(vals)] = rows
+    coo["coo_cols"][:len(vals)] = cols
+    coo["coo_vals"][:len(vals)] = vals
+
+    key = jax.random.PRNGKey(0)
+    samples, _ = m._surrogate.sample_and_log_prob(m.surrogate_params, key, (2,))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # expected fused-fallback warning
+        lp_c = m.unormalized_log_prob(data=coo, **samples)
+        lp_d = m.unormalized_log_prob(
+            data={"counts": dense, "indices": np.arange(B)}, **samples)
+    np.testing.assert_allclose(np.asarray(lp_c), np.asarray(lp_d), rtol=1e-10)
