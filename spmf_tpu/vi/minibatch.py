@@ -179,6 +179,7 @@ def fit_surrogate_posterior(
     prefetch: int = 2,
     resume_from: Optional[str] = None,
     elbo_estimator: str = "standard",
+    epoch_scan: Optional[bool] = None,
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -189,7 +190,14 @@ def fit_surrogate_posterior(
     (the Poisson/Bernoulli reference models deliberately ignore it —
     reference poisson.py:577 quirk — the Gaussian model honours it).
     ``prefetch`` sets how many batches the background assembly thread runs
-    ahead of the device (0 disables threading). ``resume_from`` restores
+    ahead of the device (0 disables threading). ``epoch_scan`` (default
+    auto) runs each whole epoch as ONE jitted ``lax.scan`` dispatch when
+    the data source is a device-resident ``DeviceArrayDataset`` on a
+    single unmeshed device — shuffle, batch gathers, and every train step
+    execute on-chip with no per-batch host dispatches (the per-batch
+    Python loop costs ~6 eager dispatches/batch through the remote-device
+    tunnel, which at production batch sizes rivals the step itself).
+    ``resume_from`` restores
     the surrogate params from an engine checkpoint before training — a
     .npz path, or a directory (the newest .npz under it, recursively):
     preemption recovery beyond the reference's in-loop-only restore
@@ -267,8 +275,12 @@ def fit_surrogate_posterior(
         else:
             params = replicate(params, mesh)
 
+    # hyperparam_dtype pins the injected lr to f32: without it, update()
+    # re-canonicalizes lr to f64 under jax_enable_x64 while init() and the
+    # plateau writes use f32 — a dtype flip the epoch-scan carry rejects
     optimizer = optax.inject_hyperparams(
-        lambda lr: optax.chain(optax.clip(clip_value), optax.adam(lr))
+        lambda lr: optax.chain(optax.clip(clip_value), optax.adam(lr)),
+        hyperparam_dtype=jnp.float32,
     )(lr=learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(params)
@@ -318,8 +330,7 @@ def fit_surrogate_posterior(
             draw, policy=jax.checkpoint_policies.nothing_saveable
         )
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, o, key, batch):
+    def _step_math(p, o, key, batch):
         def loss_fn(p_):
             total = 0.0
             for k in jax.random.split(key, sample_batches):
@@ -333,6 +344,91 @@ def fit_surrogate_posterior(
         updates, o = optimizer.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         return p, o, loss
+
+    step = partial(jax.jit, donate_argnums=(0, 1))(_step_math)
+
+    # Whole-epoch fast path (TPU-native): with a device-resident dataset on
+    # a single unmeshed device, the entire epoch — shuffle permutation,
+    # batch gathers, every train step — is ONE jitted lax.scan dispatch.
+    # The general per-batch loop pays ~6 eager dispatches per batch through
+    # the remote-device tunnel (key split, index slice, per-tensor gathers,
+    # step), which at production batch sizes rivals the 54 ms step itself
+    # (fit() measured 165k rows/sec vs the raw step's 303k at B=16384).
+    # Loss-trace/best/plateau/divergence semantics are identical: the scan
+    # returns the per-batch losses and all control flow stays per-epoch on
+    # host. The sharded/multi-host/host-streamed paths keep the general
+    # loop (their batches are assembled or re-placed off-device).
+    _scan_ds = None
+    if epoch_scan is not False:
+        from spmf_tpu.data import DeviceArrayDataset
+
+        _src = getattr(batched_data_factory, "source", None)
+        eligible = mesh is None and jax.process_count() == 1
+        if isinstance(_src, DeviceArrayDataset) and eligible:
+            _scan_ds = _src
+        elif epoch_scan:
+            raise ValueError(
+                "epoch_scan=True requires a DeviceArrayDataset source, "
+                "mesh=None, and a single process; got "
+                f"source={type(_src).__name__}, mesh={mesh}, "
+                f"processes={jax.process_count()}"
+            )
+
+    run_epoch = None
+    if _scan_ds is not None:
+        ds = _scan_ds
+        n_rows_ds = ds.num_rows
+        bs = int(ds._batch_size or n_rows_ds)
+        nb = n_rows_ds // bs
+        rem = 0 if ds._drop_remainder else n_rows_ds % bs
+        if nb == 0:
+            if rem == 0:
+                raise ValueError(
+                    "batched_data_factory() yields no batches — check "
+                    "batch_size/drop_remainder vs dataset size"
+                )
+            nb, bs, rem = 1, rem, 0
+        do_shuffle = bool(ds._shuffle)
+        # tensors ride in as ARGUMENTS, not closure constants: closed-over
+        # arrays serialize into the remote-compile request body (the tunnel
+        # rejects multi-GB bodies with HTTP 413) and pin an extra executable
+        # reference; as arguments they are passed by device handle
+        ds_tensors = {
+            k: (v.astype(dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            for k, v in ds.tensors.items()
+        }
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _run_epoch_impl(p, o, key_data, tensors):
+            key = jax.random.wrap_key_data(key_data)
+            perm_key, step_key = jax.random.split(key)
+            idx = (jax.random.permutation(perm_key, n_rows_ds)
+                   if do_shuffle else jnp.arange(n_rows_ds))
+
+            def gather(start, size):
+                sl = jax.lax.dynamic_slice_in_dim(idx, start, size)
+                return {k: jnp.take(v, sl, axis=0)
+                        for k, v in tensors.items()}
+
+            def body(carry, args):
+                start, k_ = args
+                p_, o_, loss = _step_math(*carry, k_, gather(start, bs))
+                return (p_, o_), loss
+
+            keys = jax.random.split(step_key, nb + (1 if rem else 0))
+            (p, o), losses_arr = jax.lax.scan(
+                body, (p, o), (jnp.arange(nb) * bs, keys[:nb])
+            )
+            if rem:
+                p, o, loss_rem = _step_math(
+                    p, o, keys[nb], gather(nb * bs, rem)
+                )
+                losses_arr = jnp.concatenate([losses_arr, loss_rem[None]])
+            return p, o, losses_arr
+
+        def run_epoch(p, o, key_data):
+            return _run_epoch_impl(p, o, key_data, ds_tensors)
 
     @jax.jit
     def eval_loss(p, key, batch):
@@ -362,6 +458,16 @@ def fit_surrogate_posterior(
     rng, k0 = jax.random.split(rng)
     initial_loss = float(eval_loss(params, k0, _device_batch(first_batch, dtype, mesh, data_axis)))
     say(f"Initial loss: {initial_loss}")
+
+    epoch_key_data = None
+    if run_epoch is not None:
+        # ONE host-side key fetch for the whole fit: each epoch's key rides
+        # into run_epoch as raw uint32 data (re-wrapped in-jit), so the RNG
+        # costs zero per-epoch eager dispatches through the tunnel
+        rng, sub = jax.random.split(rng)
+        epoch_key_data = np.asarray(
+            jax.random.key_data(jax.random.split(sub, num_steps))
+        )
 
     losses: List[float] = [initial_loss]
     # Epoch AVERAGES are the checkpoint unit. The single-batch initial eval
@@ -397,23 +503,29 @@ def fit_surrogate_posterior(
 
     for epoch in range(1, num_steps + 1):
         t_epoch = _time.perf_counter()
-        batch_losses = []
-        for batch in prefetch_batches(
-            batched_data_factory(), prefetch, to_device
-        ):
-            rng, k = jax.random.split(rng)
-            params, opt_state, loss = step(params, opt_state, k, batch)
-            batch_losses.append(loss)
-        if not batch_losses:
-            raise ValueError(
-                "batched_data_factory() yielded no batches in epoch "
-                f"{epoch} — check batch_size/drop_remainder vs dataset size"
+        if run_epoch is not None:
+            params, opt_state, epoch_losses = run_epoch(
+                params, opt_state, epoch_key_data[epoch - 1]
             )
-        jax.block_until_ready(loss)
+        else:
+            batch_losses = []
+            for batch in prefetch_batches(
+                batched_data_factory(), prefetch, to_device
+            ):
+                rng, k = jax.random.split(rng)
+                params, opt_state, loss = step(params, opt_state, k, batch)
+                batch_losses.append(loss)
+            if not batch_losses:
+                raise ValueError(
+                    "batched_data_factory() yielded no batches in epoch "
+                    f"{epoch} — check batch_size/drop_remainder vs dataset size"
+                )
+            epoch_losses = jnp.stack(batch_losses)
+        jax.block_until_ready(epoch_losses)
         epoch_seconds.append(_time.perf_counter() - t_epoch)
         # ONE device fetch for the epoch (per-scalar float() would cost a
         # host round-trip per batch through the tunnel)
-        batch_losses = [float(l) for l in np.asarray(jnp.stack(batch_losses))]
+        batch_losses = [float(l) for l in np.asarray(epoch_losses)]
         epoch_loss = float(np.mean(batch_losses))
         losses.append(epoch_loss)
         say(
@@ -482,5 +594,6 @@ def fit_surrogate_posterior(
         opt_state=opt_state,
         checkpoint_path=ckpt_path,
         converged=converged,
-        extras={"epoch_seconds": epoch_seconds},
+        extras={"epoch_seconds": epoch_seconds,
+                "epoch_scan": run_epoch is not None},
     )

@@ -457,3 +457,66 @@ def test_resume_checkpoint_tags_continue_monotonic(tmp_path):
     new = files() - first
     assert new
     assert min(tag(p) for p in new) > hi
+
+
+def test_epoch_scan_fast_path_converges_and_is_deterministic():
+    """The whole-epoch lax.scan path (device-resident dataset, single
+    unmeshed device) must auto-activate, train to the same analytic
+    posterior as the general loop, handle a remainder batch inside the
+    jit, and be deterministic in `seed` (keys are pre-derived host-side,
+    zero per-epoch RNG dispatches)."""
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+
+    x, surrogate, energy = _gaussian_problem()
+    n = len(x)
+    post_mean = x.sum() / (n + 1)
+    post_sd = 1.0 / np.sqrt(n + 1)
+
+    def run(**kw):
+        # 64 rows = 2 full batches of 24 + a 16-row remainder batch
+        ds = DeviceArrayDataset({"counts": x}, batch_size=24, shuffle=True,
+                                seed=0)
+        return fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), as_data_factory(ds),
+            sample_size=32, num_steps=300, learning_rate=0.05,
+            rel_tol=None, verbose=False, dtype=jnp.float64, seed=0, **kw,
+        )
+
+    result = run()
+    assert result.extras["epoch_scan"] is True
+    loc = float(result.params["z"]["loc"][0, 0])
+    sd = float(jax.nn.softplus(result.params["z"]["raw_scale"][0, 0]))
+    np.testing.assert_allclose(loc, post_mean, atol=0.1)
+    # NOTE the converged sd is NOT the analytic 1/sqrt(n+1): with several
+    # batches per epoch the engine recounts the prior/entropy per batch
+    # under per-batch row normalization (a tempered posterior — reference
+    # loss semantics). The scan path must match the GENERAL loop's
+    # optimum on the identical config, not the full-batch analytic one.
+    general = run(epoch_scan=False)
+    assert general.extras["epoch_scan"] is False
+    g_loc = float(general.params["z"]["loc"][0, 0])
+    g_sd = float(jax.nn.softplus(general.params["z"]["raw_scale"][0, 0]))
+    np.testing.assert_allclose(loc, g_loc, atol=0.05)
+    np.testing.assert_allclose(sd, g_sd, rtol=0.15)
+    result2 = run()
+    assert result.losses == result2.losses
+
+
+def test_epoch_scan_validates_eligibility():
+    """epoch_scan=True on a host-streamed factory must raise (the fast
+    path needs device-resident tensors), and the general loop must report
+    epoch_scan False."""
+    import pytest
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(32)
+    with pytest.raises(ValueError, match="epoch_scan"):
+        fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), lambda: iter(data),
+            num_steps=1, verbose=False, dtype=jnp.float64, epoch_scan=True,
+        )
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        num_steps=2, verbose=False, dtype=jnp.float64,
+    )
+    assert result.extras["epoch_scan"] is False
