@@ -180,6 +180,7 @@ def fit_surrogate_posterior(
     resume_from: Optional[str] = None,
     elbo_estimator: str = "standard",
     epoch_scan: Optional[bool] = None,
+    epoch_chunk: Optional[int] = None,
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -197,7 +198,15 @@ def fit_surrogate_posterior(
     execute on-chip with no per-batch host dispatches (the per-batch
     Python loop costs ~6 eager dispatches/batch through the remote-device
     tunnel, which at production batch sizes rivals the step itself).
-    ``resume_from`` restores
+    ``epoch_chunk`` (scan path only) additionally runs K epochs per
+    dispatch with the per-epoch best/plateau/divergence control flow
+    executed on device — the default (None) engages K=8 adaptively once
+    steady-state epochs measure under ~1 s (when round-trips dominate);
+    the trajectory is identical to single-epoch dispatching, but
+    checkpoint files are written once per chunk (at the last improving
+    epoch) and rel/abs-tol early stopping is evaluated at chunk
+    granularity (up to K-1 extra epochs execute; the loss trace and
+    returned best params are unaffected). ``resume_from`` restores
     the surrogate params from an engine checkpoint before training — a
     .npz path, or a directory (the newest .npz under it, recursively):
     preemption recovery beyond the reference's in-loop-only restore
@@ -399,9 +408,8 @@ def fit_surrogate_posterior(
             for k, v in ds.tensors.items()
         }
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def _run_epoch_impl(p, o, key_data, tensors):
-            key = jax.random.wrap_key_data(key_data)
+        def _epoch_math(p, o, key, tensors):
+            """One epoch (shuffle, batch scan, remainder) as traced jax."""
             perm_key, step_key = jax.random.split(key)
             idx = (jax.random.permutation(perm_key, n_rows_ds)
                    if do_shuffle else jnp.arange(n_rows_ds))
@@ -427,8 +435,77 @@ def fit_surrogate_posterior(
                 losses_arr = jnp.concatenate([losses_arr, loss_rem[None]])
             return p, o, losses_arr
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _run_epoch_impl(p, o, key_data, tensors):
+            return _epoch_math(p, o, jax.random.wrap_key_data(key_data),
+                               tensors)
+
         def run_epoch(p, o, key_data):
             return _run_epoch_impl(p, o, key_data, ds_tensors)
+
+        def _select(pred, a, b):
+            """Per-leaf where: a if pred else b (structures must match)."""
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(pred, x, y), a, b
+            )
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+        def _run_chunk_impl(p, o, bp, bo, bloss, stall, lr, kds, tensors):
+            """K epochs in ONE dispatch with the engine's per-epoch control
+            flow executed on device: best-params tracking, divergence
+            restore (lr x0.5), and plateau decay+restore (lr x decay_rate)
+            as lax selects — the exact decision sequence of the host loop,
+            so chunked and single-epoch runs produce identical
+            trajectories. Returns per-epoch batch losses and event flags
+            (improved/plateau/finite) so the host can replay prints,
+            checkpoint tags, and convergence checks."""
+            decay = jnp.asarray(decay_rate, jnp.float32)
+            pat = jnp.asarray(patience, jnp.int32)
+
+            def epoch_body(carry, kd):
+                p_, o_, bp_, bo_, bloss_, stall_, lr_ = carry
+                p_, o_, losses_arr = _epoch_math(
+                    p_, o_, jax.random.wrap_key_data(kd), tensors
+                )
+                eloss = jnp.mean(losses_arr)
+                finite = jnp.isfinite(eloss)
+                improved = finite & (eloss < bloss_)
+                stall_ = jnp.where(
+                    finite, jnp.where(improved, 0, stall_ + 1), stall_
+                )
+                plateau = finite & (stall_ >= pat)
+                bp_ = _select(improved, p_, bp_)
+                bo_ = _select(improved, o_, bo_)
+                bloss_ = jnp.where(improved, eloss, bloss_)
+                lr_ = jnp.where(
+                    ~finite, lr_ * 0.5, jnp.where(plateau, lr_ * decay, lr_)
+                )
+                restore = (~finite) | plateau
+                o_restored = bo_._replace(
+                    hyperparams=dict(bo_.hyperparams,
+                                     lr=lr_.astype(jnp.float32))
+                )
+                p_ = _select(restore, bp_, p_)
+                o_ = _select(restore, o_restored, o_)
+                stall_ = jnp.where(plateau, 0, stall_)
+                flags = jnp.stack([improved, plateau, finite])
+                return (p_, o_, bp_, bo_, bloss_, stall_, lr_), (
+                    losses_arr, flags,
+                )
+
+            carry, (losses_k, flags_k) = jax.lax.scan(
+                epoch_body, (p, o, bp, bo, bloss, stall, lr), kds
+            )
+            return carry, losses_k, flags_k
+
+        def run_chunk(p, o, bp, bo, bloss, stall, lr, kds):
+            return _run_chunk_impl(
+                p, o, bp, bo,
+                jnp.asarray(bloss, dtype=dtype),
+                jnp.asarray(stall, jnp.int32),
+                jnp.asarray(lr, jnp.float32),
+                kds, ds_tensors,
+            )
 
     @jax.jit
     def eval_loss(p, key, batch):
@@ -501,7 +578,106 @@ def fit_surrogate_posterior(
     # otherwise alternates with the TPU — the r2 sparse-path bottleneck)
     to_device = lambda b: _device_batch(b, dtype, mesh, data_axis)  # noqa: E731
 
-    for epoch in range(1, num_steps + 1):
+    def _decay_f32(value, factor):
+        """f32-exact LR update: the lr actually applied on device is always
+        f32 (hyperparam_dtype), so the host accumulator must follow the
+        same rounding — keeps chunked (device-side) and single-epoch
+        (host-side) control flow bit-identical across plateau decays."""
+        return float(np.float32(value) * np.float32(factor))
+
+    def _check_convergence(epoch):
+        nonlocal converged
+        if len(losses) > convergence_window:
+            window = losses[-convergence_window:]
+            spread = max(window) - min(window)
+            if rel_tol is not None and spread < rel_tol * abs(window[-1]):
+                converged = True
+            if abs_tol is not None and spread < abs_tol:
+                converged = True
+            if converged:
+                say(f"Converged (window spread {spread:.3e}); "
+                    f"stopping at epoch {epoch}")
+        return converged
+
+    # Epoch-chunk policy: with the scan path, K epochs can run as ONE
+    # dispatch (run_chunk — per-epoch control flow on device), amortizing
+    # the per-epoch dispatch + loss-fetch round-trip through the tunnel.
+    # epoch_chunk>1 forces it; the default (None) is adaptive — the first
+    # two epochs run singly (compile + a steady-state timing), then
+    # chunking engages only when epochs are fast enough (<~1 s) that
+    # round-trips actually matter, so slow fits keep live per-epoch
+    # prints and nobody pays the chunk compile for nothing.
+    if epoch_chunk is not None and epoch_chunk < 1:
+        raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
+    chunk_size = 0
+    if epoch_chunk is not None and epoch_chunk > 1:
+        if run_epoch is None:
+            raise ValueError(
+                "epoch_chunk > 1 requires the epoch_scan fast path "
+                "(DeviceArrayDataset source, mesh=None, single process)"
+            )
+        chunk_size = epoch_chunk
+
+    epoch = 0
+    while epoch < num_steps:
+        if (run_epoch is not None and epoch_chunk is None and epoch == 2
+                and epoch_seconds[1] <= 1.0):
+            chunk_size = 8
+        if chunk_size > 1 and num_steps - epoch >= chunk_size:
+            K = chunk_size
+            t_chunk = _time.perf_counter()
+            (params, opt_state, best_params, best_opt_state,
+             _blo, _sta, _lrd), losses_k, flags_k = run_chunk(
+                params, opt_state, best_params, best_opt_state,
+                best_loss, stall, lr,
+                epoch_key_data[epoch:epoch + K],
+            )
+            jax.block_until_ready(losses_k)
+            per_epoch = (_time.perf_counter() - t_chunk) / K
+            arr = np.asarray(losses_k)
+            fl = np.asarray(flags_k)
+            last_improve = None
+            # replay the device decisions for prints/trace/convergence —
+            # same sequence the single-epoch path executes on host
+            for i in range(K):
+                epoch += 1
+                epoch_seconds.append(per_epoch)
+                bl = [float(x) for x in arr[i]]
+                epoch_loss = float(np.mean(bl))
+                losses.append(epoch_loss)
+                say(
+                    f"Epoch {epoch}: average-batch loss: {epoch_loss} "
+                    f"last batch loss: {bl[-1]}"
+                )
+                improved, plateau, finite = (bool(f) for f in fl[i])
+                if not finite:
+                    say("Non-finite loss; restoring from a checkpoint "
+                        f"- loss: {best_loss}")
+                    lr = _decay_f32(lr, 0.5)
+                    continue
+                if improved:
+                    best_loss = epoch_loss
+                    last_improve = epoch
+                    stall = 0
+                else:
+                    stall += 1
+                if plateau:
+                    lr = _decay_f32(lr, decay_rate)
+                    say(f"We are in a loss plateau learning rate: {lr} "
+                        f"loss: {epoch_loss}")
+                    say(f"Restoring from a checkpoint - loss: {best_loss}")
+                    stall = 0
+                if _check_convergence(epoch):
+                    break
+            if last_improve is not None:
+                path = save_ckpt(best_params, last_improve)
+                if path is not None:
+                    say(f"Saved a checkpoint: {path}")
+            if converged:
+                break
+            continue
+
+        epoch += 1
         t_epoch = _time.perf_counter()
         if run_epoch is not None:
             params, opt_state, epoch_losses = run_epoch(
@@ -539,7 +715,7 @@ def fit_surrogate_posterior(
             say(f"Non-finite loss; restoring from a checkpoint - loss: {best_loss}")
             params = _device_copy(best_params)
             opt_state = _device_copy(best_opt_state)
-            lr *= 0.5
+            lr = _decay_f32(lr, 0.5)
             opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
             continue
 
@@ -555,7 +731,7 @@ def fit_surrogate_posterior(
             stall += 1
 
         if stall >= patience:
-            lr *= decay_rate
+            lr = _decay_f32(lr, decay_rate)
             say(f"We are in a loss plateau learning rate: {lr} loss: {epoch_loss}")
             say(f"Restoring from a checkpoint - loss: {best_loss}")
             params = _device_copy(best_params)
@@ -564,16 +740,8 @@ def fit_surrogate_posterior(
             stall = 0
 
         # rel/abs-tol convergence over a trailing window of epoch losses
-        if len(losses) > convergence_window:
-            window = losses[-convergence_window:]
-            spread = max(window) - min(window)
-            if rel_tol is not None and spread < rel_tol * abs(window[-1]):
-                converged = True
-            if abs_tol is not None and spread < abs_tol:
-                converged = True
-            if converged:
-                say(f"Converged (window spread {spread:.3e}); stopping at epoch {epoch}")
-                break
+        if _check_convergence(epoch):
+            break
 
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)

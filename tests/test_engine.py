@@ -198,7 +198,8 @@ def test_nonfinite_loss_recovery():
     # run survived the poisoned epoch: params finite, lr halved once
     flat, _ = jax.tree_util.tree_flatten(result.params)
     assert all(np.isfinite(np.asarray(a)).all() for a in flat)
-    assert result.learning_rate == 0.05
+    # lr decays in f32 exactly (matches the on-device hyperparam dtype)
+    assert result.learning_rate == float(np.float32(0.1) * np.float32(0.5))
     assert any(not np.isfinite(l) for l in result.losses)
     assert np.isfinite(result.losses[-1])
 
@@ -520,3 +521,45 @@ def test_epoch_scan_validates_eligibility():
         num_steps=2, verbose=False, dtype=jnp.float64,
     )
     assert result.extras["epoch_scan"] is False
+
+
+def test_epoch_chunk_matches_single_epoch_trajectory():
+    """K-epoch device-resident chunks (best/plateau/divergence control
+    flow as on-device selects) must reproduce the single-epoch scan
+    trajectory EXACTLY — same losses, same final best params, same lr —
+    including across plateau restores (patience=2 forces several)."""
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+
+    x, surrogate, energy = _gaussian_problem()
+
+    def run(**kw):
+        ds = DeviceArrayDataset({"counts": x}, batch_size=32, shuffle=True,
+                                seed=0)
+        return fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), as_data_factory(ds),
+            sample_size=8, num_steps=60, learning_rate=0.05, patience=2,
+            rel_tol=None, verbose=False, dtype=jnp.float64, seed=0, **kw,
+        )
+
+    single = run(epoch_chunk=1)
+    chunked = run(epoch_chunk=5)
+    assert single.extras["epoch_scan"] and chunked.extras["epoch_scan"]
+    assert chunked.losses == single.losses
+    for a, b in zip(jax.tree_util.tree_leaves(single.params),
+                    jax.tree_util.tree_leaves(chunked.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert single.learning_rate == chunked.learning_rate
+    # several plateaus must actually have occurred for this to mean much
+    assert single.learning_rate < 0.05
+
+
+def test_epoch_chunk_requires_scan_path():
+    import pytest
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(32)
+    with pytest.raises(ValueError, match="epoch_chunk"):
+        fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), lambda: iter(data),
+            num_steps=4, verbose=False, dtype=jnp.float64, epoch_chunk=4,
+        )
