@@ -563,3 +563,44 @@ def test_epoch_chunk_requires_scan_path():
             energy, surrogate, surrogate.init(), lambda: iter(data),
             num_steps=4, verbose=False, dtype=jnp.float64, epoch_chunk=4,
         )
+
+
+def test_epoch_chunk_checkpoints_best_params(tmp_path):
+    """Chunked fits write one checkpoint per chunk (at the last improving
+    epoch) and the newest on-disk file holds exactly the returned best
+    params — so preemption recovery keeps working at chunk granularity."""
+    import glob
+    import os
+
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+    from spmf_tpu.utils.checkpoint import load_pytree
+
+    x, surrogate, energy = _gaussian_problem()
+    ds = DeviceArrayDataset({"counts": x}, batch_size=32, shuffle=True,
+                            seed=0)
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=12, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0, epoch_chunk=4,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert result.extras["epoch_scan"]
+    files = glob.glob(os.path.join(str(tmp_path), "**", "*.npz"),
+                      recursive=True)
+    # 12 epochs / chunks of 4 => at most 3 checkpoint writes (vs up to 12
+    # on the single-epoch path), at least one (the loss must improve once)
+    assert 1 <= len(files) <= 3
+    newest = max(files, key=os.path.getmtime)
+    loaded = load_pytree(newest, like=jax.device_get(result.params))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(result.params)),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and a fresh run resumes from that checkpoint through the chunk path
+    r2 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=4, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0, epoch_chunk=4,
+        resume_from=str(tmp_path),
+    )
+    assert r2.losses[-1] <= result.losses[-1] + 1e-6
