@@ -24,15 +24,13 @@ P = int(os.environ.get("FPB_P", 32))
 S = 8
 
 
-def run_fit(model_kwargs, fit_kwargs, X, B, seed):
-    import jax
-
+def run_fit(fit_kwargs, X, B, seed):
     from spmf_tpu import PoissonFactorization
     from spmf_tpu.data import DeviceArrayDataset
 
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(X.shape[0] * D),
-        dtype="float32", scale_columns=False, **model_kwargs,
+        dtype="float32", scale_columns=False,
     )
     ds = DeviceArrayDataset({"counts": X}, batch_size=B, shuffle=True,
                             seed=seed, drop_remainder=True)
@@ -59,7 +57,7 @@ def main():
     X = rng.poisson(1.0, size=(args.rows, D)).astype(np.float32)
     nb = args.rows // args.batch
 
-    # (label, model_kwargs, fit_kwargs, warm_epochs_to_skip)
+    # label -> (fit_kwargs, steady-state epochs to skip for warmup/compile)
     K = 8
     variants = {
         "chunk8": (dict(num_steps=3 * K, epoch_chunk=K), K),
@@ -70,7 +68,7 @@ def main():
     for rep in range(args.reps):
         for label, (fk, skip) in variants.items():
             t0 = time.perf_counter()
-            secs, _ = run_fit({}, fk, X, args.batch, seed=rep)
+            secs, _ = run_fit(fk, X, args.batch, seed=rep)
             steady = float(np.median(secs[skip:]))
             rows_sec = nb * args.batch / steady
             results[label].append(rows_sec)

@@ -201,12 +201,20 @@ def fit_surrogate_posterior(
     ``epoch_chunk`` (scan path only) additionally runs K epochs per
     dispatch with the per-epoch best/plateau/divergence control flow
     executed on device — the default (None) engages K=8 adaptively once
-    steady-state epochs measure under ~1 s (when round-trips dominate);
-    the trajectory is identical to single-epoch dispatching, but
-    checkpoint files are written once per chunk (at the last improving
-    epoch) and rel/abs-tol early stopping is evaluated at chunk
-    granularity (up to K-1 extra epochs execute; the loss trace and
-    returned best params are unaffected). ``resume_from`` restores
+    steady-state epochs measure under ~1 s (round-trip-dominated) AND at
+    least 3 chunks of work remain (the K-epoch scan is its own XLA
+    executable; engaging for a handful of epochs would pay a fresh
+    compile to save a few dispatches). The decision sequence is the host
+    loop's exactly (bit-identical in f64 — tested; in f32 the chunked
+    decisions are made in the compute dtype on device and may differ from
+    host float64 means at 1-ulp ties). Checkpoint files are written once
+    per chunk (at the last improving epoch), and rel/abs-tol early
+    stopping is evaluated at chunk granularity: up to K-1 post-threshold
+    epochs execute and appear in the loss trace / best-params tracking.
+    An explicit ``epoch_chunk`` larger than the remaining epochs is
+    clamped (one chunk covering the remainder); the adaptive default
+    instead falls back to single-epoch dispatches for tails shorter than
+    K rather than compile a second scan shape. ``resume_from`` restores
     the surrogate params from an engine checkpoint before training — a
     .npz path, or a directory (the newest .npz under it, recursively):
     preemption recovery beyond the reference's in-loop-only restore
@@ -605,12 +613,14 @@ def fit_surrogate_posterior(
     # epoch_chunk>1 forces it; the default (None) is adaptive — the first
     # two epochs run singly (compile + a steady-state timing), then
     # chunking engages only when epochs are fast enough (<~1 s) that
-    # round-trips actually matter, so slow fits keep live per-epoch
-    # prints and nobody pays the chunk compile for nothing.
+    # round-trips actually matter AND >= 3 chunks of work remain (the
+    # K-epoch scan is its own XLA executable; engaging for a short tail
+    # would pay a fresh compile to save a handful of dispatches).
     if epoch_chunk is not None and epoch_chunk < 1:
         raise ValueError(f"epoch_chunk must be >= 1, got {epoch_chunk}")
     chunk_size = 0
-    if epoch_chunk is not None and epoch_chunk > 1:
+    explicit_chunk = epoch_chunk is not None and epoch_chunk > 1
+    if explicit_chunk:
         if run_epoch is None:
             raise ValueError(
                 "epoch_chunk > 1 requires the epoch_scan fast path "
@@ -618,65 +628,103 @@ def fit_surrogate_posterior(
             )
         chunk_size = epoch_chunk
 
+    def _bookkeep(epoch, epoch_loss, last_batch_loss, improved, finite,
+                  on_improve=None):
+        """Shared per-epoch bookkeeping for BOTH decision sources (host
+        comparisons on the per-epoch paths, device flags on the chunk
+        path): prints, best/stall/lr accounting. Returns the plateau
+        decision, computed from the mirrored stall counter — identical to
+        the device's by construction (asserted at the replay site)."""
+        nonlocal best_loss, stall, lr
+        losses.append(epoch_loss)
+        say(
+            f"Epoch {epoch}: average-batch loss: {epoch_loss} "
+            f"last batch loss: {last_batch_loss}"
+        )
+        if not finite:
+            # divergence: restore best and decay hard (reference recovers
+            # via its plateau-restore path)
+            say(f"Non-finite loss; restoring from a checkpoint - loss: {best_loss}")
+            lr = _decay_f32(lr, 0.5)
+            return False
+        if improved:
+            best_loss = epoch_loss
+            stall = 0
+            if on_improve is not None:
+                on_improve(epoch)
+        else:
+            stall += 1
+        plateau = stall >= patience
+        if plateau:
+            lr = _decay_f32(lr, decay_rate)
+            say(f"We are in a loss plateau learning rate: {lr} loss: {epoch_loss}")
+            say(f"Restoring from a checkpoint - loss: {best_loss}")
+            stall = 0
+        return plateau
+
+    chunk_used = 0
+    dev_carry = None  # (bloss, stall, lr) device scalars between chunks
     epoch = 0
     while epoch < num_steps:
+        remaining = num_steps - epoch
         if (run_epoch is not None and epoch_chunk is None and epoch == 2
-                and epoch_seconds[1] <= 1.0):
+                and epoch_seconds[1] <= 1.0 and remaining >= 3 * 8):
             chunk_size = 8
-        if chunk_size > 1 and num_steps - epoch >= chunk_size:
-            K = chunk_size
+        K = 0
+        if chunk_size > 1:
+            # explicit requests clamp to the remainder (honor the user's
+            # opt-in at the cost of one extra scan-shape compile); the
+            # adaptive default leaves short tails to the already-compiled
+            # single-epoch program instead
+            K = (min(chunk_size, remaining) if explicit_chunk
+                 else (chunk_size if remaining >= chunk_size else 0))
+        if K >= 2:
             t_chunk = _time.perf_counter()
+            carry_in = (dev_carry if dev_carry is not None
+                        else (best_loss, stall, lr))
             (params, opt_state, best_params, best_opt_state,
-             _blo, _sta, _lrd), losses_k, flags_k = run_chunk(
+             blo_d, sta_d, lr_d), losses_k, flags_k = run_chunk(
                 params, opt_state, best_params, best_opt_state,
-                best_loss, stall, lr,
-                epoch_key_data[epoch:epoch + K],
+                *carry_in, epoch_key_data[epoch:epoch + K],
             )
+            # decision state stays in DEVICE form across consecutive
+            # chunks: re-deriving bloss from the host replay (f64 means)
+            # and re-casting to the compute dtype would drift from the
+            # uninterrupted on-device carry in f32 runs
+            dev_carry = (blo_d, sta_d, lr_d)
             jax.block_until_ready(losses_k)
             per_epoch = (_time.perf_counter() - t_chunk) / K
+            chunk_used = max(chunk_used, K)
             arr = np.asarray(losses_k)
             fl = np.asarray(flags_k)
             last_improve = None
-            # replay the device decisions for prints/trace/convergence —
-            # same sequence the single-epoch path executes on host
+            # replay the device decisions through the same bookkeeping
+            # helper the per-epoch paths drive from host state
             for i in range(K):
                 epoch += 1
                 epoch_seconds.append(per_epoch)
                 bl = [float(x) for x in arr[i]]
-                epoch_loss = float(np.mean(bl))
-                losses.append(epoch_loss)
-                say(
-                    f"Epoch {epoch}: average-batch loss: {epoch_loss} "
-                    f"last batch loss: {bl[-1]}"
-                )
-                improved, plateau, finite = (bool(f) for f in fl[i])
-                if not finite:
-                    say("Non-finite loss; restoring from a checkpoint "
-                        f"- loss: {best_loss}")
-                    lr = _decay_f32(lr, 0.5)
-                    continue
+                improved, plateau_dev, finite = (bool(f) for f in fl[i])
                 if improved:
-                    best_loss = epoch_loss
                     last_improve = epoch
-                    stall = 0
-                else:
-                    stall += 1
-                if plateau:
-                    lr = _decay_f32(lr, decay_rate)
-                    say(f"We are in a loss plateau learning rate: {lr} "
-                        f"loss: {epoch_loss}")
-                    say(f"Restoring from a checkpoint - loss: {best_loss}")
-                    stall = 0
-                if _check_convergence(epoch):
-                    break
+                plateau = _bookkeep(
+                    epoch, float(np.mean(bl)), bl[-1], improved, finite
+                )
+                # stall mirrors the device counter exactly, so the host-
+                # derived plateau must match the device decision
+                assert plateau == plateau_dev, "chunk replay drifted"
             if last_improve is not None:
                 path = save_ckpt(best_params, last_improve)
                 if path is not None:
                     say(f"Saved a checkpoint: {path}")
-            if converged:
+            # rel/abs-tol stopping at chunk granularity (docstring): every
+            # epoch of the chunk executed, so all K enter the trace and
+            # the best-params tracking before the window is evaluated
+            if _check_convergence(epoch):
                 break
             continue
 
+        dev_carry = None
         epoch += 1
         t_epoch = _time.perf_counter()
         if run_epoch is not None:
@@ -703,41 +751,25 @@ def fit_surrogate_posterior(
         # host round-trip per batch through the tunnel)
         batch_losses = [float(l) for l in np.asarray(epoch_losses)]
         epoch_loss = float(np.mean(batch_losses))
-        losses.append(epoch_loss)
-        say(
-            f"Epoch {epoch}: average-batch loss: {epoch_loss} "
-            f"last batch loss: {batch_losses[-1]}"
-        )
+        finite = bool(np.isfinite(epoch_loss))
+        improved = finite and epoch_loss < best_loss
 
-        if not np.isfinite(epoch_loss):
-            # divergence: restore best and decay hard (reference recovers
-            # via its plateau-restore path)
-            say(f"Non-finite loss; restoring from a checkpoint - loss: {best_loss}")
-            params = _device_copy(best_params)
-            opt_state = _device_copy(best_opt_state)
-            lr = _decay_f32(lr, 0.5)
-            opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
-            continue
-
-        if epoch_loss < best_loss:
-            best_loss = epoch_loss
+        def _on_improve(e):
+            nonlocal best_params, best_opt_state
             best_params = _device_copy(params)
             best_opt_state = _device_copy(opt_state)
-            stall = 0
-            path = save_ckpt(best_params, epoch)
+            path = save_ckpt(best_params, e)
             if path is not None:
                 say(f"Saved a checkpoint: {path}")
-        else:
-            stall += 1
 
-        if stall >= patience:
-            lr = _decay_f32(lr, decay_rate)
-            say(f"We are in a loss plateau learning rate: {lr} loss: {epoch_loss}")
-            say(f"Restoring from a checkpoint - loss: {best_loss}")
+        plateau = _bookkeep(epoch, epoch_loss, batch_losses[-1], improved,
+                            finite, on_improve=_on_improve)
+        if not finite or plateau:
             params = _device_copy(best_params)
             opt_state = _device_copy(best_opt_state)
             opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
-            stall = 0
+            if not finite:
+                continue
 
         # rel/abs-tol convergence over a trailing window of epoch losses
         if _check_convergence(epoch):
@@ -763,5 +795,9 @@ def fit_surrogate_posterior(
         checkpoint_path=ckpt_path,
         converged=converged,
         extras={"epoch_seconds": epoch_seconds,
-                "epoch_scan": run_epoch is not None},
+                "epoch_scan": run_epoch is not None,
+                # largest K that actually ran (0 = never chunked). When
+                # chunked, epoch_seconds entries are chunk_wall/K amortized
+                # values and checkpoints were written once per chunk.
+                "epoch_chunk": chunk_used},
     )

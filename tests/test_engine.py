@@ -604,3 +604,51 @@ def test_epoch_chunk_checkpoints_best_params(tmp_path):
         resume_from=str(tmp_path),
     )
     assert r2.losses[-1] <= result.losses[-1] + 1e-6
+
+
+def test_epoch_chunk_clamps_and_reports():
+    """An explicit epoch_chunk larger than num_steps is clamped to one
+    chunk covering the remainder (the user opted in; silently running
+    every epoch singly would be a trap), and extras['epoch_chunk'] reports
+    the largest chunk that actually ran."""
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+
+    x, surrogate, energy = _gaussian_problem()
+
+    def run(**kw):
+        ds = DeviceArrayDataset({"counts": x}, batch_size=32, shuffle=True,
+                                seed=0)
+        return fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), as_data_factory(ds),
+            sample_size=8, num_steps=12, learning_rate=0.05, rel_tol=None,
+            verbose=False, dtype=jnp.float64, seed=0, **kw,
+        )
+
+    clamped = run(epoch_chunk=16)
+    assert clamped.extras["epoch_chunk"] == 12
+    assert len(clamped.losses) == 13  # initial + 12 epochs
+
+    single = run(epoch_chunk=1)
+    assert single.extras["epoch_chunk"] == 0
+    assert clamped.losses == single.losses
+
+
+def test_epoch_chunk_adaptive_engages_on_fast_epochs():
+    """The default (epoch_chunk=None) engages K=8 chunks once two single
+    epochs have measured fast (<1 s) and >= 3 chunks of work remain —
+    and leaves the tail to single-epoch dispatches (no second scan
+    compile)."""
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+
+    x, surrogate, energy = _gaussian_problem()
+    ds = DeviceArrayDataset({"counts": x}, batch_size=32, shuffle=True,
+                            seed=0)
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=29, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    # 2 single + 3 chunks of 8 + 3-epoch tail (27 < 3*8 remaining at the
+    # tail, so the adaptive path falls back to singles)
+    assert result.extras["epoch_chunk"] == 8
+    assert len(result.losses) == 30
