@@ -54,6 +54,16 @@ def main():
     if args.row_normalize:
         tensors["normalization"] = np.maximum(X.sum(axis=1), 1.0) / rowmean
     data = ArrayDataset(tensors).batch(args.batch_size, drop_remainder=True)
+    try:
+        # device-resident matrix: the fit loop's epoch_scan/epoch_chunk
+        # fast paths engage (whole epochs as single dispatches) instead of
+        # per-batch host->device transfers through the device tunnel
+        import jax
+
+        if jax.default_backend() != "cpu":
+            data = data.to_device()
+    except Exception:
+        pass
 
     factor = PoissonMatrixFactorization(
         data,
