@@ -475,7 +475,10 @@ def fit_surrogate_posterior(
                 p_, o_, losses_arr = _epoch_math(
                     p_, o_, jax.random.wrap_key_data(kd), tensors
                 )
-                eloss = jnp.mean(losses_arr)
+                # decisions are made in the engine compute dtype (the
+                # bloss carry's): mixed-precision params can promote the
+                # loss above it, which would flip the carry type
+                eloss = jnp.mean(losses_arr).astype(bloss_.dtype)
                 finite = jnp.isfinite(eloss)
                 improved = finite & (eloss < bloss_)
                 stall_ = jnp.where(

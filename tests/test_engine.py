@@ -652,3 +652,28 @@ def test_epoch_chunk_adaptive_engages_on_fast_epochs():
     # tail, so the adaptive path falls back to singles)
     assert result.extras["epoch_chunk"] == 8
     assert len(result.losses) == 30
+
+
+def test_epoch_chunk_f32_stays_on_track():
+    """In f32 the chunk decisions are made in the compute dtype on device
+    (documented contract: 1-ulp ties may differ from the host path), but
+    the trajectory must stay statistically on track: same losses to ~1e-5
+    relative and the same monotone improvement."""
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+
+    x, surrogate, energy = _gaussian_problem()
+
+    def run(**kw):
+        ds = DeviceArrayDataset({"counts": x.astype(np.float32)},
+                                batch_size=32, shuffle=True, seed=0)
+        return fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), as_data_factory(ds),
+            sample_size=8, num_steps=20, learning_rate=0.05, rel_tol=None,
+            verbose=False, dtype=jnp.float32, seed=0, **kw,
+        )
+
+    single = run(epoch_chunk=1)
+    chunked = run(epoch_chunk=5)
+    assert chunked.extras["epoch_chunk"] == 5
+    np.testing.assert_allclose(chunked.losses, single.losses, rtol=1e-4)
+    assert chunked.losses[-1] < chunked.losses[1]
