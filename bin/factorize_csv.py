@@ -121,15 +121,7 @@ def main():
         # bin/factorize_csv.py:176 az.plot_forest). Real arviz when the
         # optional dependency is importable; otherwise a matching manual
         # panel (per-feature rows, thick 50% band, thin 94% band, median).
-        try:
-            import arviz as az
-
-            az.plot_forest(
-                {"background rate": intercept[None]}, ax=ax[1],
-                combined=True,
-            )
-            ax[1].axvline(1.0, linestyle="dashed", color="black")
-        except ImportError:
+        def _manual_forest():
             lo94, lo50, mid, hi50, hi94 = np.percentile(
                 intercept, [3.0, 25.0, 50.0, 75.0, 97.0], axis=0
             )
@@ -144,6 +136,20 @@ def main():
             ax[1].axvline(1.0, linestyle="dashed", color="black")
             ax[1].set_title("intercept posterior (94% / 50% intervals)")
             ax[1].invert_yaxis()
+
+        try:
+            import arviz as az
+
+            az.plot_forest(
+                {"background rate": intercept[None]}, ax=ax[1],
+                combined=True,
+            )
+            ax[1].axvline(1.0, linestyle="dashed", color="black")
+        except Exception:
+            # arviz absent OR its plot_forest API rejects this call shape:
+            # the figure is cosmetic — never let it kill the run after
+            # minutes of training (the representations CSV follows)
+            _manual_forest()
         plt.savefig(f"{base}_encoding_{suffix}.pdf", bbox_inches="tight")
     except ImportError:
         print("matplotlib not available; skipping figure")

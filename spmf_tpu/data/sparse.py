@@ -389,12 +389,15 @@ class DeviceSparseCounts:
             self._epoch += 1
             rng.shuffle(idx)
         for start in range(0, stop, bs):
-            sl = idx[start : start + bs]
-            batch = dict(assemble(self.indptr, self.indices, self.data,
-                                  jnp.asarray(sl, jnp.int32)))
+            # ONE H2D transfer of the batch's row indices, reused for the
+            # assemble call, every extras gather, and the yielded
+            # 'indices' tensor (each jnp.asarray here is its own eager
+            # upload + dispatch through the device tunnel)
+            sl = jnp.asarray(idx[start : start + bs], jnp.int32)
+            batch = dict(assemble(self.indptr, self.indices, self.data, sl))
             self._pending_nnz.append(batch.pop("coo_nnz"))
             batch["indices"] = sl
             for k, v in self.extras.items():
-                batch[k] = v[jnp.asarray(sl)]
+                batch[k] = v[sl]
             yield batch
         self.check_overflow()

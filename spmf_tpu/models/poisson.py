@@ -37,6 +37,17 @@ from spmf_tpu.vi.surrogates import (
 __all__ = ["PoissonFactorization"]
 
 
+def _def_depth(mro, name):
+    """MRO index of the class that defines ``name`` (len(mro) if none):
+    the 'vouching' rule shared by the fused-kernel and COO-energy
+    eligibility checks — a method defined in a MORE derived class than the
+    dispatcher invalidates the dispatcher's baked-in assumptions."""
+    for i, c in enumerate(mro):
+        if name in c.__dict__:
+            return i
+    return len(mro)
+
+
 class PoissonFactorization(BayesianModel):
     """Sparse (horseshoe) Poisson matrix factorization
     (reference: mederrata_spmf/poisson.py:25)."""
@@ -569,6 +580,14 @@ class PoissonFactorization(BayesianModel):
             if self._sparse_dense_scatter(data["indices"].shape[0]):
                 data = self._densify_coo(data, enforce_slab_limit=False)
             elif self._coo_energy_supported() and self._coo_energy_mesh_ok():
+                # intended sparse path — record the dispatch (observable
+                # via fusion_active) without the XLA-fallback warning,
+                # which would be false here
+                self._fusion_last_ok = False
+                self.fusion_inactive_reason = (
+                    "sparse COO gather energy dispatched (dense-scatter "
+                    "not engaged for this batch shape/slab)"
+                )
                 return self._coo_log_prob_parts(data, prior_parts, params)
             else:
                 # densify (slab-checked) and take the generic dense path:
@@ -680,7 +699,11 @@ class PoissonFactorization(BayesianModel):
                 if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
                     return False
                 shape = (int(batch_rows), int(self.feature_dim))
-            return self._can_fuse(shape)
+            # record=False: a rejection here routes to the COO gather
+            # energy (the designed sparse path), NOT the XLA fallback —
+            # warning '~3x slower' from this probe would be false, and the
+            # caller records the actual dispatch outcome itself
+            return self._can_fuse(shape, record=False)
         return bool(mode)
 
     def _densify_coo(self, batch, enforce_slab_limit=True):
@@ -713,17 +736,10 @@ class PoissonFactorization(BayesianModel):
         likelihood (Bernoulli/Mixed/Normal-obs) without re-owning the COO
         energy must not silently train Poisson."""
         mro = type(self).__mro__
-
-        def _def_depth(name):
-            for i, c in enumerate(mro):
-                if name in c.__dict__:
-                    return i
-            return len(mro)
-
-        coo_depth = _def_depth("_coo_log_prob_parts")
+        coo_depth = _def_depth(mro, "_coo_log_prob_parts")
         for hook in ("_observation_distribution", "log_likelihood_components",
                      "_fused_x_part", "_fused_kind", "encode"):
-            if _def_depth(hook) < coo_depth:
+            if _def_depth(mro, hook) < coo_depth:
                 return False
         # both links are baked into the gather math (sparse_encode_coo takes
         # log_transform directly, the nz rate uses the stock decode), so
@@ -885,18 +901,20 @@ class PoissonFactorization(BayesianModel):
         if record:
             self.fusion_inactive_reason = reason
             self._fusion_last_ok = ok
-        if not ok and self.fused_likelihood and not getattr(
-            self, "_fusion_warned", False
-        ):
-            import warnings
+            if not ok and self.fused_likelihood and not getattr(
+                self, "_fusion_warned", False
+            ):
+                # query-only (record=False) evaluations must not consume
+                # the one-shot warning meant for the training dispatch
+                import warnings
 
-            self._fusion_warned = True
-            warnings.warn(
-                f"fused likelihood disabled, falling back to the XLA path "
-                f"(~3x slower on TPU): {reason}",
-                UserWarning,
-                stacklevel=3,
-            )
+                self._fusion_warned = True
+                warnings.warn(
+                    f"fused likelihood disabled, falling back to the XLA "
+                    f"path (~3x slower on TPU): {reason}",
+                    UserWarning,
+                    stacklevel=3,
+                )
         return ok
 
     @property
@@ -926,14 +944,7 @@ class PoissonFactorization(BayesianModel):
                         "batch/feature dim to a multiple"
                     )
         mro = type(self).__mro__
-
-        def _def_depth(name):
-            for i, c in enumerate(mro):
-                if name in c.__dict__:
-                    return i
-            return len(mro)
-
-        kind_depth = _def_depth("_fused_kind")
+        kind_depth = _def_depth(mro, "_fused_kind")
         # the likelihood math is baked into the kernel per kind: the class
         # that (re)defines _fused_kind vouches for whatever observation
         # machinery is in effect AT OR ABOVE it in the MRO. A subclass
@@ -941,12 +952,12 @@ class PoissonFactorization(BayesianModel):
         # assembly in a MORE derived class without re-owning _fused_kind
         # loses fusion (with a warning) instead of computing a wrong
         # likelihood.
-        if _def_depth("_observation_distribution") < kind_depth:
+        if _def_depth(mro, "_observation_distribution") < kind_depth:
             return False, (
                 "subclass overrides _observation_distribution without "
                 "re-owning _fused_kind"
             )
-        if _def_depth("log_likelihood_components") < kind_depth:
+        if _def_depth(mro, "log_likelihood_components") < kind_depth:
             return False, (
                 "subclass overrides log_likelihood_components without "
                 "re-owning _fused_kind"

@@ -714,8 +714,22 @@ def fit_surrogate_posterior(
                     epoch, float(np.mean(bl)), bl[-1], improved, finite
                 )
                 # stall mirrors the device counter exactly, so the host-
-                # derived plateau must match the device decision
-                assert plateau == plateau_dev, "chunk replay drifted"
+                # derived plateau must match the device decision; if it
+                # ever drifts (a future edit desynchronizing the mirror),
+                # surface it loudly but keep training — the actual params
+                # followed the DEVICE decisions either way (a bare assert
+                # would vanish under -O, or kill an hours-long fit)
+                if plateau != plateau_dev:  # pragma: no cover
+                    import warnings
+
+                    warnings.warn(
+                        "epoch-chunk replay drifted from the on-device "
+                        "decision sequence at epoch "
+                        f"{epoch} (host plateau={plateau}, device="
+                        f"{plateau_dev}); prints/lr bookkeeping may lag "
+                        "the device state",
+                        RuntimeWarning,
+                    )
             if last_improve is not None:
                 path = save_ckpt(best_params, last_improve)
                 if path is not None:

@@ -577,3 +577,53 @@ def test_waic_query_does_not_clobber_fusion_record():
     assert m._can_fuse(record=False)  # shapeless query passes...
     assert m.fusion_active is False   # ...but the dispatch record stands
     assert m.fusion_inactive_reason == reason
+
+
+def test_query_does_not_consume_one_shot_fusion_warning():
+    """A record=False evaluation (fusion_active property, WAIC) must not
+    fire — and thereby consume — the one-time fallback warning meant for
+    the training dispatch."""
+    import warnings
+
+    m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                             dtype="float64", scale_columns=False,
+                             fused_likelihood=True)
+    m.decoder_function = lambda x: x  # instance override: fusion ineligible
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert m.fusion_active is False       # query: silent
+        assert not m._can_fuse(record=False)  # query: silent
+    assert caught == []
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert not m._can_fuse()              # training dispatch: warns
+    assert len(caught) == 1
+
+
+def test_coo_gather_dispatch_does_not_false_warn():
+    """When a COO batch routes to the gather energy (the designed sparse
+    path), no 'falling back to the XLA path (~3x slower)' warning may
+    fire — that claim would be false — and the dispatch is observable."""
+    import warnings
+
+    from spmf_tpu.data import SparseCounts
+
+    rng = np.random.default_rng(0)
+    X = (rng.random((12, 6)) < 0.3) * rng.poisson(2.0, (12, 6))
+    m = PoissonFactorization(latent_dim=2, feature_dim=6, u_tau_scale=0.1,
+                             dtype="float64", scale_columns=False,
+                             fused_likelihood=True)
+    # auto mode, slab ceiling forced to 0: the scatter probe declines and
+    # routes to the gather energy (same decision path as a fusion-shape
+    # rejection — which must stay silent, record=False)
+    m._DENSE_SCATTER_MAX_SLAB_BYTES = 0
+    batch = next(iter(SparseCounts.from_dense(X).batch(12).as_coo()))
+    key = jax.random.PRNGKey(0)
+    samples = m._surrogate.sample(m.surrogate_params, key, (2,))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lp = m.unormalized_log_prob(data=batch, **samples)
+    assert np.isfinite(np.asarray(lp)).all()
+    assert not any("falling back to the XLA path" in str(w.message)
+                   for w in caught)
+    assert "COO gather energy" in m.fusion_inactive_reason
