@@ -153,7 +153,7 @@ class BayesianModel:
         allowed = ("profile_dir", "remat_sampling", "convergence_window",
                    "opt_state", "param_sharding", "decay_schedule",
                    "prefetch", "resume_from", "elbo_estimator",
-                   "epoch_scan", "epoch_chunk")
+                   "epoch_scan", "epoch_chunk", "checkpoint_full_state")
         unknown = set(kwargs) - set(allowed)
         if unknown:
             # a silently-ignored typo (resume_frm=...) would discard the

@@ -14,7 +14,8 @@ import os
 import jax
 import numpy as np
 
-__all__ = ["save_pytree", "load_pytree", "OrbaxCheckpointer"]
+__all__ = ["save_pytree", "load_pytree", "save_fit_state", "load_fit_state",
+           "OrbaxCheckpointer"]
 
 
 class OrbaxCheckpointer:
@@ -108,3 +109,58 @@ def load_pytree(path: str, like):
             f"Checkpoint has {len(flat)} leaves, structure wants {treedef.num_leaves}"
         )
     return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def save_fit_state(path: str, params, opt_state, meta: dict) -> str:
+    """Save a full fit-engine state: surrogate params + optimizer state +
+    control metadata (lr, best_loss, stall, global epoch).
+
+    The params keep ``save_pytree``'s ``leaf_{i}`` naming, so the file
+    remains loadable by ``load_pytree(path, like=params)`` — params-only
+    consumers (and pre-full-state engines) read it unchanged. The optimizer
+    leaves ride as ``opt_{i}`` and the metadata as a ``__fit_state__``
+    JSON blob; ``load_fit_state`` returns all three.
+    """
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_o, _ = jax.tree_util.tree_flatten(opt_state)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        __treedef__=json.dumps(str(treedef)),
+        __fit_state__=json.dumps(meta),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat_p)},
+        **{f"opt_{i}": np.asarray(x) for i, x in enumerate(flat_o)},
+    )
+    return path
+
+
+def load_fit_state(path: str, params_like):
+    """Load a checkpoint written by either saver.
+
+    Returns ``(params, opt_leaves, meta)`` where ``params`` has the
+    structure of ``params_like``; ``opt_leaves`` is the flat list of
+    optimizer-state arrays (``None`` for params-only checkpoints — the
+    caller unflattens with its own optimizer treedef, which is not
+    serializable); ``meta`` is the control-state dict (``None`` when
+    absent).
+    """
+    with np.load(path, allow_pickle=False) as zf:
+        flat = []
+        i = 0
+        while f"leaf_{i}" in zf:
+            flat.append(zf[f"leaf_{i}"])
+            i += 1
+        opt = []
+        i = 0
+        while f"opt_{i}" in zf:
+            opt.append(zf[f"opt_{i}"])
+            i += 1
+        meta = (json.loads(str(zf["__fit_state__"]))
+                if "__fit_state__" in zf else None)
+    treedef = jax.tree_util.tree_structure(params_like)
+    if len(flat) != treedef.num_leaves:
+        raise ValueError(
+            f"Checkpoint has {len(flat)} leaves, structure wants {treedef.num_leaves}"
+        )
+    params = jax.tree_util.tree_unflatten(treedef, flat)
+    return params, (opt or None), meta

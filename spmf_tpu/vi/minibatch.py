@@ -181,6 +181,7 @@ def fit_surrogate_posterior(
     elbo_estimator: str = "standard",
     epoch_scan: Optional[bool] = None,
     epoch_chunk: Optional[int] = None,
+    checkpoint_full_state: bool = True,
 ) -> FitResult:
     """Run minibatch ADVI. See module docstring for reproduced semantics.
 
@@ -215,10 +216,19 @@ def fit_surrogate_posterior(
     clamped (one chunk covering the remainder); the adaptive default
     instead falls back to single-epoch dispatches for tails shorter than
     K rather than compile a second scan shape. ``resume_from`` restores
-    the surrogate params from an engine checkpoint before training — a
-    .npz path, or a directory (the newest .npz under it, recursively):
-    preemption recovery beyond the reference's in-loop-only restore
-    (SURVEY.md §5.3/5.4).
+    an engine checkpoint before training — a .npz path, or a directory
+    (the newest .npz under it, recursively): preemption recovery beyond
+    the reference's in-loop-only restore (SURVEY.md §5.3/5.4). With
+    ``checkpoint_full_state`` (the default), checkpoints carry the Adam
+    moments and the control state (decayed lr, best loss, plateau stall
+    counter) alongside the params, and a resume continues all of them —
+    the optimizer does not re-warm from zero moments and the lr schedule
+    does not reset to ``learning_rate``. Params-only checkpoints (older
+    files, or ``checkpoint_full_state=False``) restore params and start
+    the optimizer/control state fresh. Full-state files remain loadable
+    by ``utils.checkpoint.load_pytree(path, like=params)`` (the params
+    keep their leaf naming); an explicit ``opt_state=`` argument takes
+    precedence over a checkpoint's optimizer state (with a warning).
     """
     say = print if verbose else (lambda *a, **k: None)
 
@@ -237,10 +247,12 @@ def fit_surrogate_posterior(
         prior_weight = float(batch_size) / float(dataset_size)
 
     epoch_offset = 0
+    _resume_opt_leaves = None  # flat optimizer leaves from a full checkpoint
+    _resume_meta = None  # control-state dict (lr/best_loss/stall) if present
     if resume_from is not None:
         import re
 
-        from spmf_tpu.utils.checkpoint import load_pytree
+        from spmf_tpu.utils.checkpoint import load_fit_state
 
         def _epoch_tag(p):
             # checkpoints are {run_id}-{epoch}.npz: order by the epoch
@@ -265,13 +277,18 @@ def fit_surrogate_posterior(
         # monotonic across repeated preemptions (a second resume must prefer
         # run 2's epoch-10 checkpoint over run 1's epoch-50 one)
         epoch_offset = max(_epoch_tag(path)[0], 0)
-        loaded = load_pytree(path, like=params)
+        loaded, _resume_opt_leaves, _resume_meta = load_fit_state(
+            path, params_like=params
+        )
         # cast to the engine dtypes (a checkpoint from an f32 TPU run must
         # not silently downgrade an f64 parity refit)
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(a, jnp.asarray(b).dtype), loaded, params
         )
-        say(f"Resumed surrogate params from {path}")
+        say("Resumed surrogate params"
+            + (" + optimizer/control state"
+               if _resume_opt_leaves is not None else "")
+            + f" from {path}")
 
     # Mesh placement (SURVEY.md §5.7/5.8): rows over 'dp'; with
     # param_sharding='fp'/'auto' and an fp mesh axis, the feature dim D of
@@ -301,6 +318,43 @@ def fit_surrogate_posterior(
     )(lr=learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(params)
+        if _resume_opt_leaves is not None:
+            # full-state resume: the checkpoint carries the Adam moments;
+            # restore them into the freshly-initialized state's structure,
+            # dtypes, and device/sharding placement (a checkpoint taken on
+            # one layout must come up on this run's layout)
+            treedef = jax.tree_util.tree_structure(opt_state)
+            init_flat = jax.tree_util.tree_leaves(opt_state)
+            if len(_resume_opt_leaves) == len(init_flat):
+                restored = [
+                    jax.device_put(
+                        jnp.asarray(a, jnp.asarray(b).dtype),
+                        getattr(b, "sharding", None),
+                    )
+                    for a, b in zip(_resume_opt_leaves, init_flat)
+                ]
+                opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+            else:  # different optimizer config (e.g. clip chain changed)
+                import warnings
+
+                warnings.warn(
+                    "resume_from checkpoint has "
+                    f"{len(_resume_opt_leaves)} optimizer leaves but this "
+                    f"run's optimizer has {len(init_flat)}; restoring "
+                    "params only (fresh optimizer state)",
+                    RuntimeWarning,
+                )
+                _resume_meta = None
+    elif _resume_opt_leaves is not None:
+        import warnings
+
+        warnings.warn(
+            "both opt_state= and a full-state resume_from checkpoint were "
+            "given; the explicit opt_state wins (checkpoint optimizer/"
+            "control state ignored)",
+            RuntimeWarning,
+        )
+        _resume_meta = None
     # best-checkpoint tracking uses on-device copies (_device_copy), which
     # preserve the step's steady-state device layout (re-feeding that exact
     # layout avoids jit recompiles on restore). The user-visible contract —
@@ -532,13 +586,31 @@ def fit_surrogate_posterior(
         ckpt_path = os.path.join(checkpoint_dir, run_id)
         os.makedirs(ckpt_path, exist_ok=True)
 
-    def save_ckpt(tree_np, tag):
+    def save_ckpt(tree_np, tag, opt_tree=None):
         if ckpt_path is None:
             return None
-        from spmf_tpu.utils.checkpoint import save_pytree
+        from spmf_tpu.utils.checkpoint import save_fit_state, save_pytree
 
         path = os.path.join(ckpt_path, f"{run_id}-{int(tag) + epoch_offset}.npz")
-        save_pytree(path, jax.device_get(tree_np))
+        if checkpoint_full_state and opt_tree is not None:
+            # full-state checkpoint: params stay under load_pytree's leaf
+            # naming (params-only consumers read the file unchanged), plus
+            # the Adam moments and the control state a resume continues
+            # from — lr/best_loss/stall at save time, and the GLOBAL epoch
+            # tag so a chain of preemptions keeps monotonic numbering
+            save_fit_state(
+                path,
+                jax.device_get(tree_np),
+                jax.device_get(opt_tree),
+                meta={
+                    "lr": float(np.float32(lr)),
+                    "best_loss": float(best_loss),
+                    "stall": int(stall),
+                    "epoch": int(tag) + epoch_offset,
+                },
+            )
+        else:
+            save_pytree(path, jax.device_get(tree_np))
         return path
 
     # Initial loss on the first batch (reference prints "Initial loss: ...")
@@ -566,10 +638,19 @@ def fit_surrogate_posterior(
     # initial params so divergence recovery before the first finite epoch
     # has something to restore.
     best_loss = np.inf
-    best_params = _device_copy(params)
-    best_opt_state = _device_copy(opt_state)
     lr = learning_rate
     stall = 0
+    if _resume_meta is not None:
+        # full-state resume: continue the interrupted run's control state —
+        # the decayed learning rate, the best loss the checkpoint unit
+        # tracks (so non-improving epochs after resume don't overwrite the
+        # restored best), and the plateau stall counter at save time
+        lr = float(np.float32(_resume_meta.get("lr", lr)))
+        best_loss = float(_resume_meta.get("best_loss", best_loss))
+        stall = int(_resume_meta.get("stall", 0))
+        opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+    best_params = _device_copy(params)
+    best_opt_state = _device_copy(opt_state)
     converged = False
     epoch_seconds: List[float] = []
 
@@ -731,7 +812,7 @@ def fit_surrogate_posterior(
                         RuntimeWarning,
                     )
             if last_improve is not None:
-                path = save_ckpt(best_params, last_improve)
+                path = save_ckpt(best_params, last_improve, best_opt_state)
                 if path is not None:
                     say(f"Saved a checkpoint: {path}")
             # rel/abs-tol stopping at chunk granularity (docstring): every
@@ -775,7 +856,7 @@ def fit_surrogate_posterior(
             nonlocal best_params, best_opt_state
             best_params = _device_copy(params)
             best_opt_state = _device_copy(opt_state)
-            path = save_ckpt(best_params, e)
+            path = save_ckpt(best_params, e, best_opt_state)
             if path is not None:
                 say(f"Saved a checkpoint: {path}")
 

@@ -437,18 +437,22 @@ def test_resume_checkpoint_tags_continue_monotonic(tmp_path):
         return set(glob.glob(os.path.join(str(tmp_path), "**", "*.npz"),
                              recursive=True))
 
+    # run 1 writes params-only checkpoints: run 2 then resumes with a
+    # fresh best_loss (inf), so its epoch 1 always improves and at least
+    # one new checkpoint is written regardless of run 1's best (a
+    # full-state restore would carry run 1's best_loss and make run 2's
+    # write stochastic — the full-state path has its own tests)
     fit_surrogate_posterior(
         energy, surrogate, surrogate.init(), lambda: iter(data),
         sample_size=8, num_steps=3, learning_rate=0.1, rel_tol=None,
         verbose=False, dtype=jnp.float64, seed=0,
-        checkpoint_dir=str(tmp_path),
+        checkpoint_dir=str(tmp_path), checkpoint_full_state=False,
     )
     first = files()
     assert first
     hi = max(tag(p) for p in first)
     # run 2 resumes and checkpoints into the same directory (the
-    # preemption-recovery layout); epoch 1 always improves on the fresh
-    # best=inf so at least one new checkpoint is written
+    # preemption-recovery layout)
     fit_surrogate_posterior(
         energy, surrogate, surrogate.init(), lambda: iter(data),
         sample_size=8, num_steps=2, learning_rate=0.1, rel_tol=None,
@@ -677,3 +681,165 @@ def test_epoch_chunk_f32_stays_on_track():
     assert chunked.extras["epoch_chunk"] == 5
     np.testing.assert_allclose(chunked.losses, single.losses, rtol=1e-4)
     assert chunked.losses[-1] < chunked.losses[1]
+
+
+def test_full_state_checkpoint_and_resume(tmp_path):
+    """Default checkpoints carry the Adam moments + control state (lr,
+    best_loss, stall); a resume continues them — the optimizer does not
+    re-warm from zero moments and the lr does not reset to the argument.
+    The file stays loadable by params-only load_pytree (back-compat)."""
+    import glob
+    import os
+
+    from spmf_tpu.utils.checkpoint import load_fit_state, load_pytree
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    r1 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=5, learning_rate=0.07, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    newest = max(
+        glob.glob(os.path.join(str(tmp_path), "**", "*.npz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    like = jax.device_get(r1.params)
+    # params-only consumers read the file unchanged
+    loaded_params = load_pytree(newest, like=like)
+    for a, b in zip(jax.tree_util.tree_leaves(like),
+                    jax.tree_util.tree_leaves(loaded_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the full loader returns optimizer leaves and control metadata
+    _, opt_leaves, meta = load_fit_state(newest, params_like=like)
+    assert opt_leaves is not None
+    assert len(opt_leaves) == len(jax.tree_util.tree_leaves(r1.opt_state))
+    assert meta is not None
+    assert set(meta) >= {"lr", "best_loss", "stall", "epoch"}
+    assert meta["best_loss"] == min(r1.losses[1:])
+
+    # resume: the checkpoint lr wins over the learning_rate argument, and
+    # the Adam step count continues from the restored moments
+    r2 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=1, learning_rate=0.5, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=3,
+        resume_from=str(tmp_path),
+    )
+    assert r2.learning_rate == meta["lr"]
+
+    def adam_count(opt_state):
+        # the inner adam state's step counter is the only int leaf
+        ints = [np.asarray(l) for l in jax.tree_util.tree_leaves(opt_state)
+                if np.issubdtype(np.asarray(l).dtype, np.integer)]
+        assert ints, "no integer leaf in the optimizer state"
+        return int(max(int(i) for i in ints))
+
+    # r1 ran 5 single-batch epochs; the checkpoint captures the count at
+    # its last improving epoch (>=1). One more epoch on resume continues
+    # from there rather than restarting at 1
+    assert adam_count(r2.opt_state) == meta["epoch"] + 1
+
+
+def test_params_only_checkpoint_opt_out_and_legacy_resume(tmp_path):
+    """checkpoint_full_state=False writes params-only files; resuming one
+    restores params but keeps the argument lr and a fresh best (legacy
+    semantics, also the path for pre-full-state checkpoints)."""
+    import glob
+    import os
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path), checkpoint_full_state=False,
+    )
+    newest = max(
+        glob.glob(os.path.join(str(tmp_path), "**", "*.npz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    with np.load(newest) as zf:
+        assert "opt_0" not in zf and "__fit_state__" not in zf
+    r2 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=1, learning_rate=0.3, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=1,
+        resume_from=str(tmp_path), checkpoint_dir=str(tmp_path),
+    )
+    assert r2.learning_rate == np.float32(0.3)
+    # fresh best=inf: the single epoch improves and writes a checkpoint
+    files = glob.glob(os.path.join(str(tmp_path), "**", "*.npz"),
+                      recursive=True)
+    assert len(files) >= 2
+
+
+def test_explicit_opt_state_wins_over_full_checkpoint(tmp_path):
+    """Passing opt_state= alongside a full-state resume keeps the explicit
+    argument (and the argument lr), with a warning."""
+    import warnings
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.07, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    # a fresh opt_state for the same params/optimizer config
+    import optax
+
+    fresh = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=2, num_steps=1, learning_rate=0.3, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=2,
+    ).opt_state
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), lambda: iter(data),
+            sample_size=8, num_steps=1, learning_rate=0.3, rel_tol=None,
+            verbose=False, dtype=jnp.float64, seed=1,
+            resume_from=str(tmp_path), opt_state=fresh,
+        )
+    assert any("opt_state" in str(x.message) for x in w)
+    assert r.learning_rate == np.float32(0.3)
+
+
+def test_full_state_resume_through_chunk_path(tmp_path):
+    """The restored control state rides into the on-device chunk carry:
+    a chunked resume continues from the checkpoint lr/best rather than
+    resetting them."""
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+    from spmf_tpu.utils.checkpoint import load_fit_state
+
+    import glob
+    import os
+
+    x, surrogate, energy = _gaussian_problem()
+    ds = DeviceArrayDataset({"counts": x}, batch_size=32, shuffle=True,
+                            seed=0)
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=8, learning_rate=0.07, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0, epoch_chunk=4,
+        checkpoint_dir=str(tmp_path),
+    )
+    newest = max(
+        glob.glob(os.path.join(str(tmp_path), "**", "*.npz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    _, opt_leaves, meta = load_fit_state(
+        newest, params_like=jax.device_get(surrogate.init()))
+    assert opt_leaves is not None and meta is not None
+    r2 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=4, learning_rate=0.5, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=5, epoch_chunk=4,
+        resume_from=str(tmp_path),
+    )
+    # no plateau in 4 easy epochs: the lr is still the restored one
+    assert r2.learning_rate == meta["lr"]
