@@ -84,31 +84,41 @@ def jnp_shape(x):
     return tuple(np.shape(x))
 
 
-def save_pytree(path: str, tree) -> str:
+def _leaf_entries(tree, prefix: str):
     flat, treedef = jax.tree_util.tree_flatten(tree)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(
-        path,
-        __treedef__=json.dumps(str(treedef)),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
-    )
-    return path
+    return {f"{prefix}{i}": np.asarray(x) for i, x in enumerate(flat)}, treedef
 
 
-def load_pytree(path: str, like):
-    """Load leaves saved by save_pytree into the structure of ``like``."""
+def _read_leaves(zf, prefix: str):
+    flat = []
+    i = 0
+    while f"{prefix}{i}" in zf:
+        flat.append(zf[f"{prefix}{i}"])
+        i += 1
+    return flat
+
+
+def _unflatten_like(flat, like):
     treedef = jax.tree_util.tree_structure(like)
-    with np.load(path, allow_pickle=False) as zf:
-        flat = []
-        i = 0
-        while f"leaf_{i}" in zf:
-            flat.append(zf[f"leaf_{i}"])
-            i += 1
     if len(flat) != treedef.num_leaves:
         raise ValueError(
             f"Checkpoint has {len(flat)} leaves, structure wants {treedef.num_leaves}"
         )
     return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def save_pytree(path: str, tree) -> str:
+    entries, treedef = _leaf_entries(tree, "leaf_")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, __treedef__=json.dumps(str(treedef)), **entries)
+    return path
+
+
+def load_pytree(path: str, like):
+    """Load leaves saved by save_pytree into the structure of ``like``."""
+    with np.load(path, allow_pickle=False) as zf:
+        flat = _read_leaves(zf, "leaf_")
+    return _unflatten_like(flat, like)
 
 
 def save_fit_state(path: str, params, opt_state, meta: dict) -> str:
@@ -121,15 +131,15 @@ def save_fit_state(path: str, params, opt_state, meta: dict) -> str:
     leaves ride as ``opt_{i}`` and the metadata as a ``__fit_state__``
     JSON blob; ``load_fit_state`` returns all three.
     """
-    flat_p, treedef = jax.tree_util.tree_flatten(params)
-    flat_o, _ = jax.tree_util.tree_flatten(opt_state)
+    p_entries, treedef = _leaf_entries(params, "leaf_")
+    o_entries, _ = _leaf_entries(opt_state, "opt_")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(
         path,
         __treedef__=json.dumps(str(treedef)),
         __fit_state__=json.dumps(meta),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat_p)},
-        **{f"opt_{i}": np.asarray(x) for i, x in enumerate(flat_o)},
+        **p_entries,
+        **o_entries,
     )
     return path
 
@@ -145,22 +155,9 @@ def load_fit_state(path: str, params_like):
     absent).
     """
     with np.load(path, allow_pickle=False) as zf:
-        flat = []
-        i = 0
-        while f"leaf_{i}" in zf:
-            flat.append(zf[f"leaf_{i}"])
-            i += 1
-        opt = []
-        i = 0
-        while f"opt_{i}" in zf:
-            opt.append(zf[f"opt_{i}"])
-            i += 1
+        flat = _read_leaves(zf, "leaf_")
+        opt = _read_leaves(zf, "opt_")
         meta = (json.loads(str(zf["__fit_state__"]))
                 if "__fit_state__" in zf else None)
-    treedef = jax.tree_util.tree_structure(params_like)
-    if len(flat) != treedef.num_leaves:
-        raise ValueError(
-            f"Checkpoint has {len(flat)} leaves, structure wants {treedef.num_leaves}"
-        )
-    params = jax.tree_util.tree_unflatten(treedef, flat)
+    params = _unflatten_like(flat, params_like)
     return params, (opt or None), meta

@@ -280,15 +280,17 @@ def fit_surrogate_posterior(
         loaded, _resume_opt_leaves, _resume_meta = load_fit_state(
             path, params_like=params
         )
+        if _resume_meta is not None:
+            # the recorded global epoch is the robust source for the tag
+            # continuation (a renamed/copied file loses the filename tag)
+            epoch_offset = max(epoch_offset,
+                               int(_resume_meta.get("epoch", 0)))
         # cast to the engine dtypes (a checkpoint from an f32 TPU run must
         # not silently downgrade an f64 parity refit)
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(a, jnp.asarray(b).dtype), loaded, params
         )
-        say("Resumed surrogate params"
-            + (" + optimizer/control state"
-               if _resume_opt_leaves is not None else "")
-            + f" from {path}")
+        say(f"Resumed surrogate params from {path}")
 
     # Mesh placement (SURVEY.md §5.7/5.8): rows over 'dp'; with
     # param_sharding='fp'/'auto' and an fp mesh axis, the feature dim D of
@@ -586,7 +588,7 @@ def fit_surrogate_posterior(
         ckpt_path = os.path.join(checkpoint_dir, run_id)
         os.makedirs(ckpt_path, exist_ok=True)
 
-    def save_ckpt(tree_np, tag, opt_tree=None):
+    def save_ckpt(tree_np, tag, opt_tree=None, control=None):
         if ckpt_path is None:
             return None
         from spmf_tpu.utils.checkpoint import save_fit_state, save_pytree
@@ -596,16 +598,22 @@ def fit_surrogate_posterior(
             # full-state checkpoint: params stay under load_pytree's leaf
             # naming (params-only consumers read the file unchanged), plus
             # the Adam moments and the control state a resume continues
-            # from — lr/best_loss/stall at save time, and the GLOBAL epoch
-            # tag so a chain of preemptions keeps monotonic numbering
+            # from — lr/best_loss/stall at save time (the host mirrors, or
+            # the device carry when the chunk path passes it — the device
+            # scalars are authoritative there and round-trip exactly), and
+            # the GLOBAL epoch tag so a chain of preemptions keeps
+            # monotonic numbering even if a file is renamed/copied
+            c_loss, c_stall, c_lr = (
+                control if control is not None else (best_loss, stall, lr)
+            )
             save_fit_state(
                 path,
                 jax.device_get(tree_np),
                 jax.device_get(opt_tree),
                 meta={
-                    "lr": float(np.float32(lr)),
-                    "best_loss": float(best_loss),
-                    "stall": int(stall),
+                    "lr": float(np.float32(c_lr)),
+                    "best_loss": float(c_loss),
+                    "stall": int(c_stall),
                     "epoch": int(tag) + epoch_offset,
                 },
             )
@@ -649,6 +657,17 @@ def fit_surrogate_posterior(
         best_loss = float(_resume_meta.get("best_loss", best_loss))
         stall = int(_resume_meta.get("stall", 0))
         opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+        # printed only after the optimizer restore VALIDATED (a leaf-count
+        # mismatch or an explicit opt_state= clears _resume_meta above);
+        # the checkpoint lr deliberately supersedes the argument — flag it
+        # when they differ so a deliberate lr override isn't silently lost
+        say("Restored optimizer/control state: "
+            f"lr={lr}, best_loss={best_loss}, stall={stall}, "
+            f"epoch={epoch_offset}"
+            + (f" (checkpoint lr supersedes learning_rate={learning_rate};"
+               " pass opt_state= or checkpoint_full_state=False runs to"
+               " override)"
+               if np.float32(learning_rate) != np.float32(lr) else ""))
     best_params = _device_copy(params)
     best_opt_state = _device_copy(opt_state)
     converged = False
@@ -812,7 +831,14 @@ def fit_surrogate_posterior(
                         RuntimeWarning,
                     )
             if last_improve is not None:
-                path = save_ckpt(best_params, last_improve, best_opt_state)
+                path = save_ckpt(
+                    best_params, last_improve, best_opt_state,
+                    # the DEVICE carry is the authoritative control state
+                    # on the chunk path (the host replay's f64 means can
+                    # drift at 1-ulp ties in f32 runs — same reason the
+                    # inter-chunk carry stays in device form)
+                    control=(float(blo_d), int(sta_d), float(lr_d)),
+                )
                 if path is not None:
                     say(f"Saved a checkpoint: {path}")
             # rel/abs-tol stopping at chunk granularity (docstring): every

@@ -843,3 +843,45 @@ def test_full_state_resume_through_chunk_path(tmp_path):
     )
     # no plateau in 4 easy epochs: the lr is still the restored one
     assert r2.learning_rate == meta["lr"]
+
+
+def test_renamed_full_checkpoint_keeps_epoch_numbering(tmp_path):
+    """The recorded global epoch in the full-state metadata backs up the
+    filename tag: resuming from a renamed/copied checkpoint file still
+    continues the tag numbering (filename parsing alone would reset to 0
+    and break newest-checkpoint resolution on the next resume)."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=4, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path / "run1"),
+    )
+    newest = max(
+        glob.glob(os.path.join(str(tmp_path / "run1"), "**", "*.npz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    hi = int(re.search(r"-(\d+)\.npz$", newest).group(1))
+    # a copied file with no epoch tag in the name
+    renamed = tmp_path / "best.npz"
+    shutil.copy(newest, renamed)
+    fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=2, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=7,
+        resume_from=str(renamed), checkpoint_dir=str(tmp_path / "run2"),
+        checkpoint_full_state=False,  # run 2's own writes are irrelevant
+    )
+    new = glob.glob(os.path.join(str(tmp_path / "run2"), "**", "*.npz"),
+                    recursive=True)
+    if new:  # written only if some epoch improved on the restored best
+        tags = [int(re.search(r"-(\d+)\.npz$", os.path.basename(p)).group(1))
+                for p in new]
+        assert min(tags) > hi
