@@ -627,6 +627,18 @@ def fit_surrogate_posterior(
     initial_loss = float(eval_loss(params, k0, _device_batch(first_batch, dtype, mesh, data_axis)))
     say(f"Initial loss: {initial_loss}")
 
+    if epoch_offset > 0:
+        # resumed runs fold the restored global epoch into the key chain
+        # that derives the TRAINING keys (after the display-only initial
+        # eval, which stays comparable across runs): with the same seed, a
+        # resume would otherwise REPLAY the original run's per-epoch keys
+        # from index 0 (both epoch paths derive them from this rng),
+        # correlating the continued trajectory with the segment already
+        # consumed. Folding keeps determinism (same seed + same checkpoint
+        # -> same continuation) with a fresh stream; fresh runs (offset 0)
+        # are bit-unchanged.
+        rng = jax.random.fold_in(rng, epoch_offset)
+
     epoch_key_data = None
     if run_epoch is not None:
         # ONE host-side key fetch for the whole fit: each epoch's key rides

@@ -885,3 +885,77 @@ def test_renamed_full_checkpoint_keeps_epoch_numbering(tmp_path):
         tags = [int(re.search(r"-(\d+)\.npz$", os.path.basename(p)).group(1))
                 for p in new]
         assert min(tags) > hi
+
+
+def test_resume_key_stream_decorrelated_but_deterministic(tmp_path):
+    """Resumed runs fold the restored global epoch into the training key
+    chain: same seed + same checkpoint gives the same continuation
+    (determinism), but the continuation does not replay the original
+    run's per-epoch keys from index 0 (decorrelation). The display-only
+    initial eval stays on the unfolded chain (comparable across runs)."""
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    r1 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+
+    def resumed():
+        return fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), lambda: iter(data),
+            sample_size=8, num_steps=2, learning_rate=0.05, rel_tol=None,
+            verbose=False, dtype=jnp.float64, seed=0,
+            resume_from=str(tmp_path),
+        )
+
+    a, b = resumed(), resumed()
+    np.testing.assert_array_equal(a.losses, b.losses)  # deterministic
+    # a fresh (non-resumed) run from the same params and seed draws the
+    # ORIGINAL epoch-1 key; the resumed run must not replay it
+    fresh = fit_surrogate_posterior(
+        energy, surrogate, r1.params, lambda: iter(data),
+        sample_size=8, num_steps=2, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    # same params, same displayed initial eval...
+    np.testing.assert_allclose(a.losses[0], fresh.losses[0], rtol=1e-12)
+    # ...but decorrelated training keys from epoch 1 on
+    assert a.losses[1] != fresh.losses[1]
+
+
+def test_preemption_resume_matches_uninterrupted_quality(tmp_path):
+    """End-to-end preemption drill (SURVEY.md §5.3/5.4): interrupt a fit
+    halfway, resume from the full-state checkpoint, and reach the same
+    quality as the uninterrupted run — the restored Adam moments, lr, and
+    best tracking make the second half a continuation, not a warm
+    restart."""
+    x, surrogate, energy = _gaussian_problem()
+    data = ArrayDataset({"counts": x}).batch(64)
+    full = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=16, num_steps=40, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+    )
+    # interrupt well before convergence so the continuation does real work
+    head = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=16, num_steps=6, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    resumed = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=16, num_steps=34, learning_rate=0.1, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0,
+        resume_from=str(tmp_path),
+    )
+    # the resumed leg continued descending past the interruption point
+    assert min(resumed.losses[1:]) < min(head.losses[1:])
+    # and lands at the uninterrupted run's quality (same total epochs);
+    # trajectories differ (fresh keys after the fold), so compare the
+    # converged level, not the path
+    np.testing.assert_allclose(
+        min(resumed.losses[1:]), min(full.losses[1:]), rtol=0.02
+    )
