@@ -1,3 +1,4 @@
+from .distributed import global_mesh, initialize_distributed, process_local_rows
 from .mesh import (
     data_parallel_mesh,
     make_mesh,
@@ -12,4 +13,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "shard_params_feature_dim",
+    "initialize_distributed",
+    "global_mesh",
+    "process_local_rows",
 ]

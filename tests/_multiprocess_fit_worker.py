@@ -1,0 +1,60 @@
+"""Subprocess worker for the real two-process multi-host fit test.
+
+Each worker is one "host" of a 2-process jax.distributed CPU cluster
+(2 local devices each -> 4 global). It runs the same seeded fit through
+the public engine with a global dp mesh; the engine's multi-host feeding
+path (``_device_batch``: ``process_local_rows`` +
+``jax.make_array_from_process_local_data``) engages because
+``jax.process_count() == 2``. Prints the loss trace for the parent test
+to compare across processes and against a single-process run.
+
+Not a pytest file (leading underscore): launched by
+tests/test_multiprocess.py.
+"""
+import json
+import os
+import sys
+
+
+def main():
+    proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    sys.path.insert(0, os.path.dirname(__file__))
+
+    from spmf_tpu.parallel import global_mesh, initialize_distributed
+
+    assert initialize_distributed(
+        f"localhost:{port}", num_processes=nprocs, process_id=proc_id
+    ), "distributed runtime did not come up"
+    assert jax.process_count() == nprocs
+    assert jax.device_count() == 2 * nprocs
+
+    import jax.numpy as jnp
+
+    from spmf_tpu.data import ArrayDataset
+    from spmf_tpu.vi.minibatch import fit_surrogate_posterior
+    from test_engine import _gaussian_problem
+
+    x, surrogate, energy = _gaussian_problem()
+    mesh = global_mesh(("dp",))
+    # every process builds the IDENTICAL global batch sequence (seeded
+    # shuffle); the engine materializes only this process's row shard
+    data = ArrayDataset({"counts": x}).batch(32)
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0, mesh=mesh,
+    )
+    print("LOSSES " + json.dumps([float(v) for v in result.losses]),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

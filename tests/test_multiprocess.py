@@ -1,0 +1,73 @@
+"""Real multi-host training (SURVEY.md §5.8) validated end-to-end: a
+2-process jax.distributed CPU cluster runs the public engine with a global
+dp mesh, exercising the per-host feeding path
+(``process_local_rows`` + ``jax.make_array_from_process_local_data``) for
+real — beyond the single-process seam unit test
+(test_engine.py::test_device_batch_multihost_seam_matches_device_put).
+
+The reference never ran multi-node (SURVEY.md §2: the strategy kwarg was
+only ever single-host MirroredStrategy); this is the TPU-pod-layout
+equivalent, testable on CPU because jax.distributed supports the Gloo
+collectives backend cross-process.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_fit_matches_single_process():
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multiprocess_fit_worker.py")
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+    traces = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("LOSSES ")]
+        assert lines, f"no LOSSES line in worker output:\n{out[-1000:]}"
+        traces.append(json.loads(lines[-1][len("LOSSES "):]))
+    # both hosts observe the identical loss trace (same global batches,
+    # same psum'd gradients)
+    np.testing.assert_array_equal(traces[0], traces[1])
+
+    # and the 2-process run matches a single-process fit over the same
+    # 4-way dp mesh (the multi-host assembly must be math-identical to
+    # plain device_put sharding)
+    import jax
+    import jax.numpy as jnp
+
+    from spmf_tpu.data import ArrayDataset
+    from spmf_tpu.parallel.mesh import make_mesh
+    from spmf_tpu.vi.minibatch import fit_surrogate_posterior
+    from test_engine import _gaussian_problem
+
+    x, surrogate, energy = _gaussian_problem()
+    mesh = make_mesh(shape=(4,), axis_names=("dp",),
+                     devices=jax.devices()[:4])
+    data = ArrayDataset({"counts": x}).batch(32)
+    ref = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), lambda: iter(data),
+        sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float64, seed=0, mesh=mesh,
+    )
+    np.testing.assert_allclose(traces[0], ref.losses, rtol=1e-10)
