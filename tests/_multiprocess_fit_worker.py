@@ -18,6 +18,7 @@ import sys
 
 def main():
     proc_id, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "gauss"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -40,18 +41,42 @@ def main():
 
     from spmf_tpu.data import ArrayDataset
     from spmf_tpu.vi.minibatch import fit_surrogate_posterior
-    from test_engine import _gaussian_problem
 
-    x, surrogate, energy = _gaussian_problem()
-    mesh = global_mesh(("dp",))
-    # every process builds the IDENTICAL global batch sequence (seeded
-    # shuffle); the engine materializes only this process's row shard
-    data = ArrayDataset({"counts": x}).batch(32)
-    result = fit_surrogate_posterior(
-        energy, surrogate, surrogate.init(), lambda: iter(data),
-        sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
-        verbose=False, dtype=jnp.float64, seed=0, mesh=mesh,
-    )
+    if mode == "gauss":
+        from test_engine import _gaussian_problem
+
+        x, surrogate, energy = _gaussian_problem()
+        mesh = global_mesh(("dp",))
+        # every process builds the IDENTICAL global batch sequence (seeded
+        # shuffle); the engine materializes only this process's row shard
+        data = ArrayDataset({"counts": x}).batch(32)
+        result = fit_surrogate_posterior(
+            energy, surrogate, surrogate.init(), lambda: iter(data),
+            sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
+            verbose=False, dtype=jnp.float64, seed=0, mesh=mesh,
+        )
+    elif mode == "pf_dpfp":
+        # the flagship model over a dp x fp mesh spanning BOTH processes:
+        # rows shard over dp, the feature dim of u/v/w/s over fp — the
+        # params' fp shards live on different hosts
+        import numpy as np
+
+        from spmf_tpu import PoissonFactorization
+        from test_multiprocess import pf_problem
+
+        X, data = pf_problem()
+        mesh = global_mesh(("dp", "fp"), shape=(2, 2))
+        model = PoissonFactorization(
+            latent_dim=2, feature_dim=X.shape[1], u_tau_scale=0.1,
+            dtype="float64", mesh=mesh,
+        )
+        losses = model.fit(
+            batched_data_factory=data, num_steps=2, learning_rate=0.05,
+            rel_tol=None, sample_size=4, seed=0, verbose=False,
+        )
+        result = model.last_fit
+    else:
+        raise SystemExit(f"unknown mode {mode}")
     print("LOSSES " + json.dumps([float(v) for v in result.losses]),
           flush=True)
 

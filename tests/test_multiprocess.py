@@ -25,13 +25,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_fit_matches_single_process():
+def pf_problem():
+    """Tiny Poisson-counts dataset shared by the dp x fp worker and the
+    single-process reference (identical seeded construction)."""
+    from spmf_tpu.data import ArrayDataset
+
+    rng = np.random.default_rng(3)
+    X = rng.poisson(1.0, (64, 8))
+    data = ArrayDataset(
+        {"counts": X, "indices": np.arange(64)}
+    ).batch(32, drop_remainder=True)
+    return X, data
+
+
+def _run_workers(mode: str):
     worker = os.path.join(os.path.dirname(__file__),
                           "_multiprocess_fit_worker.py")
     port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", port],
+            [sys.executable, worker, str(i), "2", port, mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for i in range(2)
@@ -46,6 +59,11 @@ def test_two_process_fit_matches_single_process():
         lines = [l for l in out.splitlines() if l.startswith("LOSSES ")]
         assert lines, f"no LOSSES line in worker output:\n{out[-1000:]}"
         traces.append(json.loads(lines[-1][len("LOSSES "):]))
+    return traces
+
+
+def test_two_process_fit_matches_single_process():
+    traces = _run_workers("gauss")
     # both hosts observe the identical loss trace (same global batches,
     # same psum'd gradients)
     np.testing.assert_array_equal(traces[0], traces[1])
@@ -71,3 +89,30 @@ def test_two_process_fit_matches_single_process():
         verbose=False, dtype=jnp.float64, seed=0, mesh=mesh,
     )
     np.testing.assert_allclose(traces[0], ref.losses, rtol=1e-10)
+
+
+def test_two_process_dpxfp_model_fit_matches_single_process():
+    """The flagship model over a dp x fp mesh spanning two processes: the
+    fp shards of u/v/w/s live on DIFFERENT hosts and the contraction
+    collectives cross the process boundary. Both hosts must agree, and
+    match a single-process fit over the same 2x2 layout."""
+    traces = _run_workers("pf_dpfp")
+    np.testing.assert_array_equal(traces[0], traces[1])
+
+    import jax
+
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.parallel.mesh import make_mesh
+
+    X, data = pf_problem()
+    mesh = make_mesh(shape=(2, 2), axis_names=("dp", "fp"),
+                     devices=jax.devices()[:4])
+    model = PoissonFactorization(
+        latent_dim=2, feature_dim=X.shape[1], u_tau_scale=0.1,
+        dtype="float64", mesh=mesh,
+    )
+    losses = model.fit(
+        batched_data_factory=data, num_steps=2, learning_rate=0.05,
+        rel_tol=None, sample_size=4, seed=0, verbose=False,
+    )
+    np.testing.assert_allclose(traces[0], losses, rtol=1e-10)
