@@ -251,6 +251,34 @@ class BayesianModel:
             sample_chunk=sample_chunk,
         )
 
+    def log_likelihood(self, data=None, num_samples: int = 100, seed: int = 1,
+                       sample_chunk: int = 10):
+        """Predictive log-likelihood of ``data`` under the calibrated
+        posterior: ``{'total','per_row','n_rows'}`` where ``total`` is the
+        lppd (``sum_i log mean_s exp(ll_is)``, the pointwise predictive
+        density WAIC also uses) and ``per_row = total / n_rows``.
+
+        Pass a HELD-OUT data factory/dataset to score generalization —
+        the BASELINE.md target metric ("held-out Poisson log-likelihood"):
+
+            train, test = counts[:n_train], counts[n_train:]
+            model.fit(batched_data_factory=train_ds, ...)
+            score = model.log_likelihood(test_ds)["per_row"]
+
+        With ``data=None`` scores the bound (training) data; then
+        ``total`` equals ``waic()['lppd']`` for the same draws. The
+        reference has no held-out evaluation anywhere (SURVEY.md §6) —
+        this is the net-new scoring surface the rebuild targets require;
+        streaming sample chunks, so production scale (D=20k, 100 samples)
+        never materializes an (S, B, D) block."""
+        out = self.waic(data=data, num_samples=num_samples, seed=seed,
+                        sample_chunk=sample_chunk)
+        return {
+            "total": out["lppd"],
+            "per_row": out["lppd"] / out["n_rows"],
+            "n_rows": out["n_rows"],
+        }
+
     def set_calibration_expectations(self, num_samples: int = 250, seed: int = 42):
         # jitted once per model: op-by-op eager sampling is compile-bound
         if getattr(self, "_jit_mean_nsamples", None) != num_samples:

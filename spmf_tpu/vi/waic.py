@@ -106,4 +106,7 @@ def waic(
         "se": float(np.sqrt(n * waic_i.var())),
         "lppd": float(lppd_i.sum()),
         "pwaic": float(pwaic_i.sum()),
+        # row count of the evaluated data: lets callers report per-row
+        # scores (model.log_likelihood) without a second data pass
+        "n_rows": int(n),
     }

@@ -104,7 +104,7 @@ def test_fit_decreases_loss_and_exports(pois):
     z = np.asarray(m.encode(X[:10]))
     assert z.shape == (10, P)
     w = m.waic(num_samples=10)
-    assert set(w) == {"waic", "se", "lppd", "pwaic"}
+    assert set(w) == {"waic", "se", "lppd", "pwaic", "n_rows"}
     assert np.isfinite(list(w.values())).all()
 
 
@@ -627,3 +627,34 @@ def test_coo_gather_dispatch_does_not_false_warn():
     assert not any("falling back to the XLA path" in str(w.message)
                    for w in caught)
     assert "COO gather energy" in m.fusion_inactive_reason
+
+
+def test_log_likelihood_heldout_scoring():
+    """model.log_likelihood: lppd-based predictive scoring (the BASELINE.md
+    'held-out Poisson log-likelihood' metric). On bound data it equals
+    waic()['lppd']; on a held-out split, training must improve it (the
+    calibrated posterior beats the prior-scale init)."""
+    rng = np.random.default_rng(0)
+    X = rng.poisson(1.0, (100, 6))
+    train = ArrayDataset(
+        {"counts": X[:80], "indices": np.arange(80)}).batch(80)
+    test = ArrayDataset(
+        {"counts": X[80:], "indices": np.arange(20)}).batch(20)
+
+    m = PoissonFactorization(latent_dim=2, feature_dim=6, u_tau_scale=0.1,
+                             dtype="float64", data=train)
+    before = m.log_likelihood(test, num_samples=20, seed=3)
+    m.fit(batched_data_factory=train, num_steps=15, learning_rate=0.1,
+          rel_tol=None, sample_size=4, verbose=False)
+    after = m.log_likelihood(test, num_samples=20, seed=3)
+    assert after["n_rows"] == 20
+    assert np.isfinite(after["per_row"])
+    assert after["per_row"] > before["per_row"]
+    np.testing.assert_allclose(after["total"],
+                               after["per_row"] * after["n_rows"],
+                               rtol=1e-12)
+    # bound-data consistency: same draws as waic -> total == lppd
+    w = m.waic(num_samples=20, seed=3)
+    ll = m.log_likelihood(num_samples=20, seed=3)
+    np.testing.assert_allclose(ll["total"], w["lppd"], rtol=1e-12)
+    assert ll["n_rows"] == 80 == w["n_rows"]
