@@ -959,3 +959,45 @@ def test_preemption_resume_matches_uninterrupted_quality(tmp_path):
     np.testing.assert_allclose(
         min(resumed.losses[1:]), min(full.losses[1:]), rtol=0.02
     )
+
+
+def test_full_state_chunk_resume_f32_uses_device_carry(tmp_path):
+    """f32 + epoch_chunk: the checkpoint control state comes from the
+    on-device carry scalars (not the host replay's f64 means), so the
+    resumed chunk carry is seeded with exactly the values the device held
+    at save time."""
+    import glob
+    import os
+
+    from spmf_tpu.data import DeviceArrayDataset, as_data_factory
+    from spmf_tpu.utils.checkpoint import load_fit_state
+
+    x, surrogate, energy = _gaussian_problem()
+    ds = DeviceArrayDataset({"counts": x.astype(np.float32)},
+                            batch_size=32, shuffle=True, seed=0)
+    r1 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=8, learning_rate=0.05, rel_tol=None,
+        verbose=False, dtype=jnp.float32, seed=0, epoch_chunk=4,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert r1.extras["epoch_chunk"] == 4
+    newest = max(
+        glob.glob(os.path.join(str(tmp_path), "**", "*.npz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    _, opt_leaves, meta = load_fit_state(
+        newest, params_like=jax.device_get(r1.params))
+    assert opt_leaves is not None
+    # the recorded best_loss is an f32 device scalar: it round-trips
+    # through float64 JSON exactly and must equal one of the f32 epoch
+    # means the device computed (the best one)
+    assert np.float32(meta["best_loss"]) == np.float32(min(r1.losses[1:]))
+    r2 = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), as_data_factory(ds),
+        sample_size=8, num_steps=4, learning_rate=0.5, rel_tol=None,
+        verbose=False, dtype=jnp.float32, seed=2, epoch_chunk=4,
+        resume_from=str(tmp_path),
+    )
+    assert r2.learning_rate == meta["lr"]
+    assert np.isfinite(r2.losses).all()
