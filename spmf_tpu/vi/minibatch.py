@@ -780,137 +780,147 @@ def fit_surrogate_posterior(
     chunk_used = 0
     dev_carry = None  # (bloss, stall, lr) device scalars between chunks
     epoch = 0
-    while epoch < num_steps:
-        remaining = num_steps - epoch
-        if (run_epoch is not None and epoch_chunk is None and epoch == 2
-                and epoch_seconds[1] <= 1.0 and remaining >= 3 * 8):
-            chunk_size = 8
-        K = 0
-        if chunk_size > 1:
-            # explicit requests clamp to the remainder (honor the user's
-            # opt-in at the cost of one extra scan-shape compile); the
-            # adaptive default leaves short tails to the already-compiled
-            # single-epoch program instead
-            K = (min(chunk_size, remaining) if explicit_chunk
-                 else (chunk_size if remaining >= chunk_size else 0))
-        if K >= 2:
-            t_chunk = _time.perf_counter()
-            carry_in = (dev_carry if dev_carry is not None
-                        else (best_loss, stall, lr))
-            (params, opt_state, best_params, best_opt_state,
-             blo_d, sta_d, lr_d), losses_k, flags_k = run_chunk(
-                params, opt_state, best_params, best_opt_state,
-                *carry_in, epoch_key_data[epoch:epoch + K],
-            )
-            # decision state stays in DEVICE form across consecutive
-            # chunks: re-deriving bloss from the host replay (f64 means)
-            # and re-casting to the compute dtype would drift from the
-            # uninterrupted on-device carry in f32 runs
-            dev_carry = (blo_d, sta_d, lr_d)
-            jax.block_until_ready(losses_k)
-            per_epoch = (_time.perf_counter() - t_chunk) / K
-            chunk_used = max(chunk_used, K)
-            arr = np.asarray(losses_k)
-            fl = np.asarray(flags_k)
-            last_improve = None
-            # replay the device decisions through the same bookkeeping
-            # helper the per-epoch paths drive from host state
-            for i in range(K):
-                epoch += 1
-                epoch_seconds.append(per_epoch)
-                bl = [float(x) for x in arr[i]]
-                improved, plateau_dev, finite = (bool(f) for f in fl[i])
-                if improved:
-                    last_improve = epoch
-                plateau = _bookkeep(
-                    epoch, float(np.mean(bl)), bl[-1], improved, finite
+    interrupted = False
+    try:
+        while epoch < num_steps:
+            remaining = num_steps - epoch
+            if (run_epoch is not None and epoch_chunk is None and epoch == 2
+                    and epoch_seconds[1] <= 1.0 and remaining >= 3 * 8):
+                chunk_size = 8
+            K = 0
+            if chunk_size > 1:
+                # explicit requests clamp to the remainder (honor the user's
+                # opt-in at the cost of one extra scan-shape compile); the
+                # adaptive default leaves short tails to the already-compiled
+                # single-epoch program instead
+                K = (min(chunk_size, remaining) if explicit_chunk
+                     else (chunk_size if remaining >= chunk_size else 0))
+            if K >= 2:
+                t_chunk = _time.perf_counter()
+                carry_in = (dev_carry if dev_carry is not None
+                            else (best_loss, stall, lr))
+                (params, opt_state, best_params, best_opt_state,
+                 blo_d, sta_d, lr_d), losses_k, flags_k = run_chunk(
+                    params, opt_state, best_params, best_opt_state,
+                    *carry_in, epoch_key_data[epoch:epoch + K],
                 )
-                # stall mirrors the device counter exactly, so the host-
-                # derived plateau must match the device decision; if it
-                # ever drifts (a future edit desynchronizing the mirror),
-                # surface it loudly but keep training — the actual params
-                # followed the DEVICE decisions either way (a bare assert
-                # would vanish under -O, or kill an hours-long fit)
-                if plateau != plateau_dev:  # pragma: no cover
-                    import warnings
-
-                    warnings.warn(
-                        "epoch-chunk replay drifted from the on-device "
-                        "decision sequence at epoch "
-                        f"{epoch} (host plateau={plateau}, device="
-                        f"{plateau_dev}); prints/lr bookkeeping may lag "
-                        "the device state",
-                        RuntimeWarning,
+                # decision state stays in DEVICE form across consecutive
+                # chunks: re-deriving bloss from the host replay (f64 means)
+                # and re-casting to the compute dtype would drift from the
+                # uninterrupted on-device carry in f32 runs
+                dev_carry = (blo_d, sta_d, lr_d)
+                jax.block_until_ready(losses_k)
+                per_epoch = (_time.perf_counter() - t_chunk) / K
+                chunk_used = max(chunk_used, K)
+                arr = np.asarray(losses_k)
+                fl = np.asarray(flags_k)
+                last_improve = None
+                # replay the device decisions through the same bookkeeping
+                # helper the per-epoch paths drive from host state
+                for i in range(K):
+                    epoch += 1
+                    epoch_seconds.append(per_epoch)
+                    bl = [float(x) for x in arr[i]]
+                    improved, plateau_dev, finite = (bool(f) for f in fl[i])
+                    if improved:
+                        last_improve = epoch
+                    plateau = _bookkeep(
+                        epoch, float(np.mean(bl)), bl[-1], improved, finite
                     )
-            if last_improve is not None:
-                path = save_ckpt(
-                    best_params, last_improve, best_opt_state,
-                    # the DEVICE carry is the authoritative control state
-                    # on the chunk path (the host replay's f64 means can
-                    # drift at 1-ulp ties in f32 runs — same reason the
-                    # inter-chunk carry stays in device form)
-                    control=(float(blo_d), int(sta_d), float(lr_d)),
-                )
-                if path is not None:
-                    say(f"Saved a checkpoint: {path}")
-            # rel/abs-tol stopping at chunk granularity (docstring): every
-            # epoch of the chunk executed, so all K enter the trace and
-            # the best-params tracking before the window is evaluated
-            if _check_convergence(epoch):
-                break
-            continue
+                    # stall mirrors the device counter exactly, so the host-
+                    # derived plateau must match the device decision; if it
+                    # ever drifts (a future edit desynchronizing the mirror),
+                    # surface it loudly but keep training — the actual params
+                    # followed the DEVICE decisions either way (a bare assert
+                    # would vanish under -O, or kill an hours-long fit)
+                    if plateau != plateau_dev:  # pragma: no cover
+                        import warnings
 
-        dev_carry = None
-        epoch += 1
-        t_epoch = _time.perf_counter()
-        if run_epoch is not None:
-            params, opt_state, epoch_losses = run_epoch(
-                params, opt_state, epoch_key_data[epoch - 1]
-            )
-        else:
-            batch_losses = []
-            for batch in prefetch_batches(
-                batched_data_factory(), prefetch, to_device
-            ):
-                rng, k = jax.random.split(rng)
-                params, opt_state, loss = step(params, opt_state, k, batch)
-                batch_losses.append(loss)
-            if not batch_losses:
-                raise ValueError(
-                    "batched_data_factory() yielded no batches in epoch "
-                    f"{epoch} — check batch_size/drop_remainder vs dataset size"
-                )
-            epoch_losses = jnp.stack(batch_losses)
-        jax.block_until_ready(epoch_losses)
-        epoch_seconds.append(_time.perf_counter() - t_epoch)
-        # ONE device fetch for the epoch (per-scalar float() would cost a
-        # host round-trip per batch through the tunnel)
-        batch_losses = [float(l) for l in np.asarray(epoch_losses)]
-        epoch_loss = float(np.mean(batch_losses))
-        finite = bool(np.isfinite(epoch_loss))
-        improved = finite and epoch_loss < best_loss
-
-        def _on_improve(e):
-            nonlocal best_params, best_opt_state
-            best_params = _device_copy(params)
-            best_opt_state = _device_copy(opt_state)
-            path = save_ckpt(best_params, e, best_opt_state)
-            if path is not None:
-                say(f"Saved a checkpoint: {path}")
-
-        plateau = _bookkeep(epoch, epoch_loss, batch_losses[-1], improved,
-                            finite, on_improve=_on_improve)
-        if not finite or plateau:
-            params = _device_copy(best_params)
-            opt_state = _device_copy(best_opt_state)
-            opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
-            if not finite:
+                        warnings.warn(
+                            "epoch-chunk replay drifted from the on-device "
+                            "decision sequence at epoch "
+                            f"{epoch} (host plateau={plateau}, device="
+                            f"{plateau_dev}); prints/lr bookkeeping may lag "
+                            "the device state",
+                            RuntimeWarning,
+                        )
+                if last_improve is not None:
+                    path = save_ckpt(
+                        best_params, last_improve, best_opt_state,
+                        # the DEVICE carry is the authoritative control state
+                        # on the chunk path (the host replay's f64 means can
+                        # drift at 1-ulp ties in f32 runs — same reason the
+                        # inter-chunk carry stays in device form)
+                        control=(float(blo_d), int(sta_d), float(lr_d)),
+                    )
+                    if path is not None:
+                        say(f"Saved a checkpoint: {path}")
+                # rel/abs-tol stopping at chunk granularity (docstring): every
+                # epoch of the chunk executed, so all K enter the trace and
+                # the best-params tracking before the window is evaluated
+                if _check_convergence(epoch):
+                    break
                 continue
 
-        # rel/abs-tol convergence over a trailing window of epoch losses
-        if _check_convergence(epoch):
-            break
+            dev_carry = None
+            epoch += 1
+            t_epoch = _time.perf_counter()
+            if run_epoch is not None:
+                params, opt_state, epoch_losses = run_epoch(
+                    params, opt_state, epoch_key_data[epoch - 1]
+                )
+            else:
+                batch_losses = []
+                for batch in prefetch_batches(
+                    batched_data_factory(), prefetch, to_device
+                ):
+                    rng, k = jax.random.split(rng)
+                    params, opt_state, loss = step(params, opt_state, k, batch)
+                    batch_losses.append(loss)
+                if not batch_losses:
+                    raise ValueError(
+                        "batched_data_factory() yielded no batches in epoch "
+                        f"{epoch} — check batch_size/drop_remainder vs dataset size"
+                    )
+                epoch_losses = jnp.stack(batch_losses)
+            jax.block_until_ready(epoch_losses)
+            epoch_seconds.append(_time.perf_counter() - t_epoch)
+            # ONE device fetch for the epoch (per-scalar float() would cost a
+            # host round-trip per batch through the tunnel)
+            batch_losses = [float(l) for l in np.asarray(epoch_losses)]
+            epoch_loss = float(np.mean(batch_losses))
+            finite = bool(np.isfinite(epoch_loss))
+            improved = finite and epoch_loss < best_loss
 
+            def _on_improve(e):
+                nonlocal best_params, best_opt_state
+                best_params = _device_copy(params)
+                best_opt_state = _device_copy(opt_state)
+                path = save_ckpt(best_params, e, best_opt_state)
+                if path is not None:
+                    say(f"Saved a checkpoint: {path}")
+
+            plateau = _bookkeep(epoch, epoch_loss, batch_losses[-1], improved,
+                                finite, on_improve=_on_improve)
+            if not finite or plateau:
+                params = _device_copy(best_params)
+                opt_state = _device_copy(best_opt_state)
+                opt_state.hyperparams["lr"] = jnp.asarray(lr, dtype=jnp.float32)
+                if not finite:
+                    continue
+
+            # rel/abs-tol convergence over a trailing window of epoch losses
+            if _check_convergence(epoch):
+                break
+
+    except KeyboardInterrupt:
+        # graceful interrupt (Ctrl-C / SIGINT): keep the best state
+        # reached so far instead of losing the in-memory result —
+        # the caller gets a normal FitResult (extras['interrupted'])
+        # and on-disk checkpoints (if enabled) are already written
+        interrupted = True
+        say(f"Interrupted at epoch {epoch}; returning the best "
+            f"params so far (loss {best_loss})")
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
 
@@ -935,5 +945,8 @@ def fit_surrogate_posterior(
                 # largest K that actually ran (0 = never chunked). When
                 # chunked, epoch_seconds entries are chunk_wall/K amortized
                 # values and checkpoints were written once per chunk.
-                "epoch_chunk": chunk_used},
+                "epoch_chunk": chunk_used,
+                # True when a KeyboardInterrupt ended the loop early: the
+                # returned params are the best reached before the interrupt
+                "interrupted": interrupted},
     )

@@ -1001,3 +1001,29 @@ def test_full_state_chunk_resume_f32_uses_device_carry(tmp_path):
     )
     assert r2.learning_rate == meta["lr"]
     assert np.isfinite(r2.losses).all()
+
+
+def test_keyboard_interrupt_returns_best_so_far(capsys):
+    """Graceful interrupt: a KeyboardInterrupt mid-fit (Ctrl-C/SIGINT on a
+    long run) returns a normal FitResult with the best params reached so
+    far and extras['interrupted']=True, instead of losing the in-memory
+    result."""
+    x, surrogate, energy = _gaussian_problem()
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        if calls["n"] == 4:  # first call is the initial-loss batch
+            raise KeyboardInterrupt
+        return iter(ArrayDataset({"counts": x}).batch(64))
+
+    result = fit_surrogate_posterior(
+        energy, surrogate, surrogate.init(), factory,
+        sample_size=8, num_steps=50, learning_rate=0.05, rel_tol=None,
+        verbose=True, dtype=jnp.float64, seed=0,
+    )
+    assert result.extras["interrupted"]
+    assert len(result.losses) == 3  # initial + 2 completed epochs
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(result.params)[0])).all()
+    assert "Interrupted at epoch" in capsys.readouterr().out
