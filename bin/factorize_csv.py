@@ -38,6 +38,15 @@ def main():
                         help="Log-transform?")
     parser.add_argument("-rn", "--row-normalize", action="store_true",
                         help="Row normalize based on counts?")
+    # additive flags (not in the reference CLI, whose flag surface is
+    # otherwise preserved): preemption recovery for long factorizations,
+    # same semantics as bin/factorize_scrnaseq_counts.py
+    parser.add_argument("--checkpoint-dir", nargs="?", type=str, default=None,
+                        help="Write full-state engine checkpoints here "
+                             "(per improving epoch)")
+    parser.add_argument("--resume-from", nargs="?", type=str, default=None,
+                        help="Resume from an engine checkpoint (.npz path "
+                             "or a directory; newest restored)")
     args = parser.parse_args(sys.argv[1:])
 
     if args.csv_file is None:
@@ -75,11 +84,17 @@ def main():
         u_tau_scale=1.0 / np.sqrt(columns * N),
     )
 
+    fit_kwargs = {}
+    if args.checkpoint_dir is not None:
+        fit_kwargs["checkpoint_dir"] = args.checkpoint_dir
+    if args.resume_from is not None:
+        fit_kwargs["resume_from"] = args.resume_from
     factor.calibrate_advi(
         num_steps=args.epoch,
         rel_tol=1e-4,
         clip_value=args.clip_value,
         learning_rate=args.learning_rate,
+        **fit_kwargs,
     )
 
     base = f"{args.csv_file}_{args.dimension}D"
