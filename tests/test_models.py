@@ -658,3 +658,35 @@ def test_log_likelihood_heldout_scoring():
     ll = m.log_likelihood(num_samples=20, seed=3)
     np.testing.assert_allclose(ll["total"], w["lppd"], rtol=1e-12)
     assert ll["n_rows"] == 80 == w["n_rows"]
+
+
+def test_dense_horseshoe_unit():
+    """DenseHorseshoe direct coverage (reference API surface:
+    poisson.py:763-789 — var_list, joint_prior, bijectors,
+    assemble_networks): sample shapes, finite joint log_prob, forward
+    shapes with leading sample dims, and the log_prob equals the sum of
+    its per-variable parts."""
+    from spmf_tpu.nn.dense import DenseHorseshoe
+
+    net = DenseHorseshoe(5, [4, 3], dtype="float64")
+    assert net.var_list == ["w_0", "b_0", "w_1", "b_1"]
+    key = jax.random.PRNGKey(0)
+    s = net.sample(key, (2,))
+    assert s["w_0"].shape == (2, 5, 4) and s["b_1"].shape == (2, 1, 3)
+    lp = net.log_prob(s)
+    assert lp.shape == (2,) and np.isfinite(np.asarray(lp)).all()
+    # joint = sum of independent parts
+    parts = sum(
+        net.joint_prior.model[k].log_prob(s[k]) for k in net.var_list
+    )
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(parts), rtol=1e-12)
+    # forward pass broadcasts the sample dim: (B,5) -> (2,B,3)
+    f = net.assemble_networks(s)
+    x = np.linspace(0, 1, 35).reshape(7, 5)
+    out = np.asarray(f(x))
+    assert out.shape == (2, 7, 3)
+    assert np.isfinite(out).all()
+    # single-draw params give an unbatched forward
+    s1 = net.sample(jax.random.PRNGKey(1))
+    out1 = np.asarray(net.assemble_networks(s1)(x))
+    assert out1.shape == (7, 3)
