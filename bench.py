@@ -119,7 +119,34 @@ def get_cpu_baseline() -> float:
         return json.load(f)["cpu_rows_per_sec"]
 
 
+def _probe_devices(timeout: int = 150) -> bool:
+    """The remote-TPU tunnel can hang ``jax.devices()`` indefinitely during
+    outages (observed multi-hour hangs); probe it in a SUBPROCESS with a
+    timeout so an outage yields a fast, recorded failure line instead of a
+    bench run that never returns."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_devices():
+        print(json.dumps({
+            "metric": "train_step_rows_per_sec_per_chip",
+            "value": None,
+            "unit": "rows/sec/chip",
+            "vs_baseline": None,
+            "error": "device backend unavailable (TPU tunnel outage?) — "
+                     "jax.devices() did not answer within 150s",
+        }))
+        sys.exit(1)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
