@@ -690,3 +690,27 @@ def test_dense_horseshoe_unit():
     s1 = net.sample(jax.random.PRNGKey(1))
     out1 = np.asarray(net.assemble_networks(s1)(x))
     assert out1.shape == (7, 3)
+
+
+def test_model_fit_forwards_checkpoint_full_state(tmp_path):
+    """The strict fit-kwargs allowlist must pass checkpoint_full_state
+    through to the engine (a typo'd engine option raises TypeError)."""
+    rng = np.random.default_rng(0)
+    X = rng.poisson(1.0, (40, 5))
+    data = ArrayDataset({"counts": X, "indices": np.arange(40)}).batch(40)
+    m = PoissonFactorization(latent_dim=2, feature_dim=5, u_tau_scale=0.1,
+                             dtype="float64", data=data)
+    m.fit(batched_data_factory=data, num_steps=2, learning_rate=0.1,
+          rel_tol=None, sample_size=2, verbose=False,
+          checkpoint_dir=str(tmp_path), checkpoint_full_state=False)
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(str(tmp_path), "**", "*.npz"),
+                      recursive=True)
+    assert files
+    with np.load(max(files, key=os.path.getmtime)) as zf:
+        assert "opt_0" not in zf  # params-only honored through model.fit
+    with pytest.raises(TypeError, match="unknown keyword"):
+        m.fit(batched_data_factory=data, num_steps=1, verbose=False,
+              checkpoint_full_stat=True)  # typo must not be swallowed
