@@ -1,0 +1,142 @@
+"""CLI smoke tests: the packaged entry points run end-to-end in-process.
+
+The reference's user surface is its bin/ scripts (SURVEY.md §2.6-2.7:
+reference bin/factorize_csv.py, bin/preprocess_scrnaseq_counts.py,
+bin/factorize_scrnaseq_counts.py, bin/plot_scrnaseq_figures.py). The e2e
+verify recipe exercises them on the TPU backend; these tests make the
+pytest suite self-contained evidence by running each main() in-process
+(inheriting conftest's CPU backend — the scripts are subprocess-hostile
+here because the environment pins JAX_PLATFORMS=axon) on tiny inputs and
+asserting every documented output artifact is written and loadable.
+"""
+import csv
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+BIN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "bin")
+
+
+def _load_bin(name):
+    """Import bin/<name>.py as a module (bin/ is not a package)."""
+    path = os.path.join(BIN, name + ".py")
+    spec = importlib.util.spec_from_file_location(f"bin_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(mod, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", [mod.__name__] + argv)
+    mod.main()
+
+
+def test_factorize_csv_cli(tmp_path, monkeypatch):
+    """Reference bin/factorize_csv.py contract: encoding CSV, saved model,
+    PDF figure, per-row representation CSV (reference factorize_csv.py:
+    126-200), exercising the -lt/-rn flag branches."""
+    rng = np.random.default_rng(0)
+    csv_file = tmp_path / "counts.csv"
+    X = rng.poisson(2.0, size=(30, 6))
+    with open(csv_file, "w", newline="") as f:
+        csv.writer(f).writerows(X.tolist())
+
+    mod = _load_bin("factorize_csv")
+    _run(mod, ["-f", str(csv_file), "-e", "2", "-d", "2", "-b", "10",
+               "-lr", "0.05", "-lt", "-rn"], monkeypatch)
+
+    base = f"{csv_file}_2D"
+    suffix = "lt_True_rn_True"
+    enc = np.loadtxt(f"{base}_encoding_{suffix}.csv", delimiter=",")
+    assert enc.shape == (2, 6)  # written transposed: (latent_dim, columns)
+    assert np.isfinite(enc).all()
+
+    # saved model reconstitutes (dill-free npz, reference factor.save parity)
+    from spmf_tpu.models.base import load_model
+
+    restored = load_model(f"{base}_model_{suffix}.npz")
+    np.testing.assert_allclose(
+        np.asarray(restored.encoding_matrix()).T, enc, rtol=1e-6)
+
+    rep = np.loadtxt(f"{base}_representation_{suffix}.csv", delimiter=",")
+    assert rep.shape == (30, 3)  # index + 2 latent coords per row
+    assert np.isfinite(rep).all()
+    assert os.path.exists(f"{base}_encoding_{suffix}.pdf")
+
+
+def test_scrnaseq_pipeline_cli(tmp_path, monkeypatch):
+    """The full scRNA chain (reference bin/preprocess_scrnaseq_counts.py ->
+    bin/factorize_scrnaseq_counts.py -> bin/plot_scrnaseq_figures.py) runs
+    end-to-end on a synthetic 10x MatrixMarket directory."""
+    rng = np.random.default_rng(1)
+    genes, cells = 300, 50
+    # dense-ish Poisson(3) so every cell passes the min_genes>=200 QC gate
+    M = rng.poisson(3.0, size=(genes, cells))
+    M[0, :] = 0  # an all-zero gene must be dropped by min_cells>=3
+    r, c = np.nonzero(M)
+    with open(tmp_path / "matrix.mtx", "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n")
+        f.write(f"{genes} {cells} {len(r)}\n")
+        for i, j in zip(r, c):
+            f.write(f"{i + 1} {j + 1} {M[i, j]}\n")
+    with open(tmp_path / "features.tsv", "w") as f:
+        for g in range(genes):
+            f.write(f"ENSG{g:05d}\tGENE{g}\tGene Expression\n")
+
+    pre = _load_bin("preprocess_scrnaseq_counts")
+    _run(pre, ["--datapath", str(tmp_path), "--dataset", "toy",
+               "--n-top-genes", "64", "--backend", "numpy"], monkeypatch)
+
+    counts = np.load(tmp_path / "toy_counts.npy")
+    names = np.load(tmp_path / "toy_genenames.npy", allow_pickle=True)
+    emb = np.load(tmp_path / "toy_UMAP_scanpy.npy")
+    assert counts.shape[1] == 64 and counts.shape[0] <= cells
+    assert names.shape == (64,) and str(names[0]).startswith("GENE")
+    assert "GENE0" not in set(map(str, names))  # the zero gene was filtered
+    assert emb.shape == (counts.shape[0], 2)
+
+    fact = _load_bin("factorize_scrnaseq_counts")
+    _run(fact, ["--datapath", str(tmp_path), "--dataset", "toy",
+                "-d", "2", "-b", "16", "-e", "2", "--no-figures"],
+         monkeypatch)
+
+    N = counts.shape[0]
+    for artifact, shape in (
+        ("toy_U_2.npy", (64, 2)), ("toy_V_2.npy", (2, 64)),
+        ("toy_W_2.npy", (1, 64)), ("toy_Z_2.npy", (N, 2)),
+        ("toy_cellscore_2.npy", (N, 2)), ("toy_genescore_2.npy", (2, 64)),
+        ("toy_interceptscore_2.npy", (1, 64)),
+    ):
+        arr = np.load(tmp_path / artifact)
+        assert arr.shape == shape, (artifact, arr.shape)
+        assert np.isfinite(arr).all(), artifact
+    losses = np.load(tmp_path / "toy_losses_2.npy")
+    assert losses.size >= 1 and np.isfinite(losses).all()
+
+    plot = _load_bin("plot_scrnaseq_figures")
+    _run(plot, ["--datapath", str(tmp_path), "--dataset", "toy", "-d", "2"],
+         monkeypatch)
+    assert os.path.exists(tmp_path / "toy_genescores_replot_2.pdf")
+    assert os.path.exists(tmp_path / "toy_UMAP_replot_2.pdf")
+
+
+def test_factorize_scrnaseq_sparse_flag(tmp_path, monkeypatch):
+    """--sparse trains on COO triplets (the never-densify path) and writes
+    the same artifact set."""
+    rng = np.random.default_rng(2)
+    X = (rng.poisson(0.3, size=(48, 40)) *
+         (rng.random((48, 40)) < 0.3)).astype(np.int64)
+    X[:, 0] += 1  # keep at least one nonzero column norm
+    np.save(tmp_path / "sp_counts.npy", X)
+    np.save(tmp_path / "sp_genenames.npy",
+            np.array([f"G{i}" for i in range(40)]))
+
+    fact = _load_bin("factorize_scrnaseq_counts")
+    _run(fact, ["--datapath", str(tmp_path), "--dataset", "sp",
+                "-d", "2", "-b", "16", "-e", "2", "--no-figures",
+                "--sparse"], monkeypatch)
+    Z = np.load(tmp_path / "sp_Z_2.npy")
+    assert Z.shape == (48, 2) and np.isfinite(Z).all()
