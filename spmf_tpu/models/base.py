@@ -152,7 +152,7 @@ class BayesianModel:
             raise ValueError("No data bound: pass batched_data_factory or set_data()")
         allowed = ("profile_dir", "remat_sampling", "convergence_window",
                    "opt_state", "param_sharding", "decay_schedule",
-                   "prefetch", "resume_from", "elbo_estimator",
+                   "prefetch", "resume_from", "elbo_estimator", "antithetic",
                    "epoch_scan", "epoch_chunk", "checkpoint_full_state")
         unknown = set(kwargs) - set(allowed)
         if unknown:

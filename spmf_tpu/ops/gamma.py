@@ -92,32 +92,71 @@ def _make_wh_reduce(boost: int):
 _WH_REDUCE = {b: _make_wh_reduce(b) for b in (_BOOST,)}
 
 
-def wilson_hilferty_gamma(key, concentration, boost: int = _BOOST):
+def _mirror_base_draws(key, shape, dtype, boost):
+    """Antithetic base randomness for the WH sampler: the leading axis of
+    ``shape`` is the sample axis (must be even); the second half mirrors the
+    first (eps -> -eps, U -> 1-U). Marginally each half follows the same
+    N(0,1)/U(0,1) laws, so every sample keeps the WH-approximate Gamma law —
+    the pairs are merely negatively coupled (variance reduction for monotone
+    functionals of the draw; the WH map is monotone in both eps and U)."""
+    S = shape[0]
+    if S % 2:
+        raise ValueError(f"antithetic sampling needs an even sample count, got {S}")
+    half = (S // 2,) + shape[1:]
+    kn, ku = jax.random.split(key)
+    tiny = jnp.finfo(dtype).tiny
+    eps_h = jax.random.normal(kn, half, dtype)
+    eps = jnp.concatenate([eps_h, -eps_h], axis=0)
+    if boost == 0:
+        return eps, None
+    u_h = jax.random.uniform(ku, (boost,) + half, dtype,
+                             minval=tiny, maxval=1.0)
+    # 1-u can land arbitrarily close to 0 when u -> 1; clamp to the same
+    # tiny floor the independent path uses (log(u) must stay finite)
+    u = jnp.concatenate([u_h, jnp.maximum(1.0 - u_h, tiny)], axis=1)
+    return eps, u
+
+
+def wilson_hilferty_gamma(key, concentration, boost: int = _BOOST,
+                          antithetic: bool = False):
     """Pathwise-differentiable Gamma(concentration, 1) sampler (module
     docstring). Hand-written VJP: the backward uses two weighted log-uniform
     sums saved at forward time instead of retaining the (boost, ...) uniform
-    tensor, and is pure elementary ops."""
+    tensor, and is pure elementary ops. ``antithetic``: mirror the base
+    draws across the leading (sample) axis — see _mirror_base_draws."""
     a = concentration
-    kn, ku = jax.random.split(key)
-    eps = jax.random.normal(kn, jnp.shape(a), jnp.result_type(a))
+    dtype = jnp.result_type(a)
+    if antithetic:
+        eps, u = _mirror_base_draws(key, jnp.shape(a), dtype, boost)
+    else:
+        kn, ku = jax.random.split(key)
+        eps = jax.random.normal(kn, jnp.shape(a), dtype)
+        u = None if boost == 0 else jax.random.uniform(
+            ku, (boost,) + jnp.shape(a), dtype,
+            minval=jnp.finfo(dtype).tiny, maxval=1.0,
+        )
     if boost == 0:
         return _wh_value(a, eps, jnp.zeros_like(a), 0)
-    u = jax.random.uniform(
-        ku, (boost,) + jnp.shape(a), jnp.result_type(a),
-        minval=jnp.finfo(jnp.result_type(a)).tiny, maxval=1.0,
-    )
     logu = jnp.log(u)
     fn = _WH_REDUCE.get(boost) or _make_wh_reduce(boost)
     return fn(a, eps, logu)
 
 
-def sample_gamma(key, concentration, method: str = "exact"):
+def sample_gamma(key, concentration, method: str = "exact",
+                 antithetic: bool = False):
     """Gamma(concentration, 1) with selectable gradient machinery:
     - 'exact': jax.random.gamma (implicit reparameterization; exact but the
       backward primitive is very slow on TPU)
     - 'fast':  boosted Wilson–Hilferty pathwise sampler (above)
+    ``antithetic`` (fast only): mirror the base draws across the leading
+    sample axis; 'exact' draws by rejection, which has no base randomness
+    to mirror.
     """
     if method == "fast":
-        return wilson_hilferty_gamma(key, concentration)
+        return wilson_hilferty_gamma(key, concentration, antithetic=antithetic)
+    if antithetic:
+        raise ValueError("antithetic sampling requires gamma_sampler "
+                         "'fast' or 'fused' (rejection sampling has no "
+                         "pathwise base draws to mirror)")
     g = jax.random.gamma(key, concentration, dtype=jnp.result_type(concentration))
     return jnp.maximum(g, jnp.sqrt(jnp.finfo(jnp.result_type(concentration)).tiny))

@@ -179,6 +179,7 @@ def fit_surrogate_posterior(
     prefetch: int = 2,
     resume_from: Optional[str] = None,
     elbo_estimator: str = "standard",
+    antithetic: bool = False,
     epoch_scan: Optional[bool] = None,
     epoch_chunk: Optional[int] = None,
     checkpoint_full_state: bool = True,
@@ -191,6 +192,12 @@ def fit_surrogate_posterior(
     ``prior_weight = batch_size / dataset_size`` is forwarded to the energy
     (the Poisson/Bernoulli reference models deliberately ignore it —
     reference poisson.py:577 quirk — the Gaussian model honours it).
+    ``antithetic`` mirrors the surrogate base draws across the (even)
+    sample axis — each draw keeps its marginal law so the ELBO estimate
+    stays unbiased, but the pairs are negatively coupled, reducing
+    gradient variance per sample (measured: docs/antithetic_experiment.json;
+    requires a pathwise gamma sampler, i.e. not ``gamma_sampler='exact'``,
+    and routes sampling through the XLA samplers).
     ``prefetch`` sets how many batches the background assembly thread runs
     ahead of the device (0 disables threading). ``epoch_scan`` (default
     auto) runs each whole epoch as ONE jitted ``lax.scan`` dispatch when
@@ -382,10 +389,12 @@ def fit_surrogate_posterior(
         def draw(p_, k_):
             p_stop = jax.tree_util.tree_map(jax.lax.stop_gradient, p_)
             return surrogate.sample_and_log_prob(
-                p_, k_, (sample_size,), logq_params=p_stop
+                p_, k_, (sample_size,), logq_params=p_stop,
+                antithetic=antithetic,
             )
     elif elbo_estimator == "standard":
-        draw = lambda p_, k_: surrogate.sample_and_log_prob(p_, k_, (sample_size,))
+        draw = lambda p_, k_: surrogate.sample_and_log_prob(
+            p_, k_, (sample_size,), antithetic=antithetic)
     else:
         raise ValueError(f"unknown elbo_estimator {elbo_estimator!r}")
     if remat_sampling is None:

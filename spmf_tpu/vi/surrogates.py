@@ -302,13 +302,27 @@ class SurrogatePosterior:
         return values, (logq if sample_shape else logq[0])
 
     def _sample_normals(self, names, params, key, sample_shape,
-                        logq_params=None):
-        if logq_params is None and self._fused_normals_ok(names, sample_shape):
+                        logq_params=None, antithetic=False):
+        if (logq_params is None and not antithetic
+                and self._fused_normals_ok(names, sample_shape)):
             return self._sample_normals_fused(names, params, key,
                                               sample_shape)
         values, logq = {}, 0.0
         total = sum(self._sizes[n] for n in names)
-        eps = jax.random.normal(key, sample_shape + (total,), self.dtype)
+        if antithetic:
+            # mirrored pairs: eps_{s+S/2} = -eps_s. Marginally still N(0,1)
+            # per sample; the pair mean of loc-gradients cancels the odd
+            # component of the integrand (variance reduction at no extra
+            # draws). logq below is evaluated at the VALUES, so it is exact
+            # for the mirrored half too.
+            S = sample_shape[0]
+            if len(sample_shape) != 1 or S % 2:
+                raise ValueError("antithetic sampling needs a 1-d even "
+                                 f"sample shape, got {sample_shape}")
+            eps_h = jax.random.normal(key, (S // 2, total), self.dtype)
+            eps = jnp.concatenate([eps_h, -eps_h], axis=0)
+        else:
+            eps = jax.random.normal(key, sample_shape + (total,), self.dtype)
         off = 0
         for n in names:
             s = self.surrogates[n]
@@ -482,10 +496,10 @@ class SurrogatePosterior:
         return values, (logq if sample_shape else logq[0])
 
     def _sample_igs(self, names, params, key, sample_shape,
-                    logq_params=None):
+                    logq_params=None, antithetic=False):
         from spmf_tpu.ops.gamma import sample_gamma
 
-        if logq_params is None:
+        if logq_params is None and not antithetic:
             if self._fused_igs_sharded_ok(names, sample_shape):
                 return self._sample_igs_fused_sharded(names, params, key,
                                                       sample_shape)
@@ -503,7 +517,8 @@ class SurrogatePosterior:
         # 'fused' degrades to the same WH sampler when the kernel can't run
         # (CPU, f64, non-softplus bijectors, multi-dim sample shapes)
         method = "fast" if self.gamma_sampler == "fused" else self.gamma_sampler
-        g = sample_gamma(key, conc_b.astype(self.dtype), method)
+        g = sample_gamma(key, conc_b.astype(self.dtype), method,
+                         antithetic=antithetic)
         off = 0
         for n in names:
             s = self.surrogates[n]
@@ -529,15 +544,23 @@ class SurrogatePosterior:
         return values, logq
 
     def sample_and_log_prob(self, params, key, sample_shape=(),
-                            apply_broadcast=True, logq_params=None):
+                            apply_broadcast=True, logq_params=None,
+                            antithetic=False):
         """Joint sample + log q. ``logq_params``: optional second pytree
         the DENSITY is evaluated with (same structure), while the sample
         path uses ``params`` — the STL estimator passes stop_gradient'd
         params here (vi/minibatch elbo_estimator='stl'); densities stay in
         pre-bijector space (no constrained-space inverse). Forces the XLA
         samplers (the fused kernels compute logq in-kernel at the live
-        params)."""
+        params). ``antithetic``: mirror base draws across the (1-d, even)
+        sample axis — each sample keeps its marginal law, pairs are
+        negatively coupled (variance reduction; fit(antithetic=True)).
+        Forces the XLA samplers too (the fused kernels generate RNG
+        in-kernel) and requires a pathwise gamma sampler."""
         sample_shape = tuple(sample_shape)
+        if antithetic and (len(sample_shape) != 1 or sample_shape[0] % 2):
+            raise ValueError("antithetic sampling needs a 1-d even sample "
+                             f"shape, got {sample_shape}")
         kn, kg, ko, kbn, kbg = jax.random.split(key, 5)
         values, logq = {}, 0.0
         bset = self.broadcast_names if (apply_broadcast and sample_shape) else frozenset()
@@ -547,15 +570,15 @@ class SurrogatePosterior:
         reg_igs = [n for n in self._ig_names if n not in bset]
         bc_igs = [n for n in self._ig_names if n in bset]
 
-        for names, key_i, shape, fn in (
-            (reg_normals, kn, sample_shape, self._sample_normals),
-            (bc_normals, kbn, (), self._sample_normals),
-            (reg_igs, kg, sample_shape, self._sample_igs),
-            (bc_igs, kbg, (), self._sample_igs),
+        for names, key_i, shape, fn, anti in (
+            (reg_normals, kn, sample_shape, self._sample_normals, antithetic),
+            (bc_normals, kbn, (), self._sample_normals, False),
+            (reg_igs, kg, sample_shape, self._sample_igs, antithetic),
+            (bc_igs, kbg, (), self._sample_igs, False),
         ):
             if names:
                 v, lp = fn(names, params, key_i, shape,
-                           logq_params=logq_params)
+                           logq_params=logq_params, antithetic=anti)
                 values.update(v)
                 logq = logq + lp
 
