@@ -33,6 +33,17 @@ CONFIGS = {
                            aux_broadcast=True, remat=False),
     "fused-ig-xn": dict(fused_likelihood=True, gamma_sampler="fused",
                         remat=False, fused_normals=False),
+    # antithetic estimator arms: samples= overrides the global S for the
+    # config (S=4 antithetic aims to match S=8 independent convergence at
+    # ~half the per-step likelihood cost — docs/antithetic_experiment.json)
+    "anti-s4": dict(fused_likelihood=True, gamma_sampler="fused",
+                    remat=False, antithetic=True, samples=4),
+    "anti-s8": dict(fused_likelihood=True, gamma_sampler="fused",
+                    remat=False, antithetic=True, samples=8),
+    "anti-s4-fast": dict(fused_likelihood=True, gamma_sampler="fast",
+                         remat=False, antithetic=True, samples=4),
+    "fused-ig-s4": dict(fused_likelihood=True, gamma_sampler="fused",
+                        remat=False, samples=4),
 }
 
 
@@ -45,6 +56,8 @@ def build(name, cfg, X):
 
     remat = cfg.pop("remat", True)
     fused_normals = cfg.pop("fused_normals", True)
+    antithetic = cfg.pop("antithetic", False)
+    s_cfg = cfg.pop("samples", S)
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
         dtype="float32", scale_columns=False, **cfg,
@@ -54,7 +67,8 @@ def build(name, cfg, X):
     opt = optax.chain(optax.clip(5.0), optax.adam(0.01))
     o = opt.init(model.surrogate_params)
 
-    draw = lambda p, k: sur.sample_and_log_prob(p, k, (S,))
+    draw = lambda p, k: sur.sample_and_log_prob(p, k, (s_cfg,),
+                                                antithetic=antithetic)
     if remat:
         draw = jax.checkpoint(draw, policy=jax.checkpoint_policies.nothing_saveable)
 

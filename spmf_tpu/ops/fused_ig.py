@@ -129,17 +129,27 @@ def _uniform_from_bits(shape):
     return (bits & 0x7FFFFF).astype(jnp.float32) * (2.0**-23) + (2.0**-24)
 
 
-def _draw_eps_s1_s2(a, shape):
+def _draw_eps_s1_s2(a, shape, mirror=None):
     """In-kernel randomness for one (tile, sample): standard normal ``eps``
     (inverse-CDF; |eps| <= ~5.2 at 23-bit resolution, far inside the WH
     cube's own clamp) and the two Stuart weighted log-uniform sums. The
-    draw ORDER here is the replay contract between forward and backward."""
-    u0 = _uniform_from_bits(shape)
+    draw ORDER here is the replay contract between forward and backward.
+
+    ``mirror`` (traced bool scalar, antithetic mode): flip every uniform
+    U -> 1-U, which negates eps exactly (erf_inv is odd and 2(1-U)-1 is
+    the exact f32 negation of 2U-1) and mirrors the Stuart factors. The
+    bit-twiddled U lives in [2^-24, 1-2^-24], which is symmetric, so 1-U
+    stays log-safe with no extra clamp."""
+    def _u():
+        u = _uniform_from_bits(shape)
+        return u if mirror is None else jnp.where(mirror, 1.0 - u, u)
+
+    u0 = _u()
     eps = _SQRT2 * jax.lax.erf_inv(2.0 * u0 - 1.0)
     s1 = jnp.zeros(shape, jnp.float32)
     s2 = jnp.zeros(shape, jnp.float32)
     for k in range(BOOST):
-        logu = jnp.log(_uniform_from_bits(shape))
+        logu = jnp.log(_u())
         w = 1.0 / (a + float(k))
         s1 = s1 + logu * w
         s2 = s2 + logu * w * w
@@ -148,14 +158,18 @@ def _draw_eps_s1_s2(a, shape):
 
 # ------------------------------------------------------------------ kernels
 def _fwd_kernel(seed_ref, a_ref, b_ref, logb_ref, t0_ref, y_ref, lq_ref,
-                *, total, S):
+                *, total, S, antithetic):
     i = pl.program_id(0)   # tile (params DMA'd once per tile: s is inner)
     s = pl.program_id(1)   # ELBO sample
-    pltpu.prng_seed(seed_ref[0], i * S + s)
+    # antithetic: samples s and s+S/2 share a seed stream; the second half
+    # mirrors every uniform (U -> 1-U)
+    half = S // 2 if antithetic else S
+    pltpu.prng_seed(seed_ref[0], i * S + s % half)
+    mirror = (s >= half) if antithetic else None
 
     a = a_ref[:]
     shape = a.shape
-    eps, s1, _ = _draw_eps_s1_s2(a, shape)
+    eps, s1, _ = _draw_eps_s1_s2(a, shape, mirror)
     y, lq = _tile_fwd(a, b_ref[:], logb_ref[:], t0_ref[:], eps, s1)
     y_ref[0] = y
 
@@ -174,14 +188,16 @@ def _fwd_kernel(seed_ref, a_ref, b_ref, logb_ref, t0_ref, y_ref, lq_ref,
 
 
 def _bwd_kernel(seed_ref, a_ref, b_ref, logb_ref, dg0_ref, glq_ref, gy_ref,
-                ga_ref, gb_ref, *, total, S):
+                ga_ref, gb_ref, *, total, S, antithetic):
     i = pl.program_id(0)
     s = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0], i * S + s)  # replay the forward stream
+    half = S // 2 if antithetic else S
+    pltpu.prng_seed(seed_ref[0], i * S + s % half)  # replay forward stream
+    mirror = (s >= half) if antithetic else None
 
     a = a_ref[:]
     shape = a.shape
-    eps, s1, s2 = _draw_eps_s1_s2(a, shape)
+    eps, s1, s2 = _draw_eps_s1_s2(a, shape, mirror)
     dy_da, dy_db, dlq_da, dlq_db = _tile_bwd(
         a, b_ref[:], logb_ref[:], dg0_ref[:], eps, s1, s2
     )
@@ -232,21 +248,26 @@ def _precompute(a_flat, b_flat, total, rows_padded):
     return a, b, logb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_ig_sample_logq(a_flat, b_flat, seed, S):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_ig_sample_logq(a_flat, b_flat, seed, S, antithetic=False):
     """Sample y = softplus(InverseGamma(a, b)) pathwise, S times.
 
     Args: a_flat, b_flat (total,) f32 — constrained concentration/scale;
-    seed: int32 scalar (traced ok); S: static sample count.
+    seed: int32 scalar (traced ok); S: static sample count; antithetic:
+    static — samples s and s+S/2 (S even) use mirrored base draws
+    (U -> 1-U, hence eps -> -eps), keeping every marginal law while
+    negatively coupling the pairs (fit(antithetic=True)).
     Returns: y (S, total) f32, logq (S,) f32 — logq is the summed
     IG-log-density minus the softplus forward-log-det-Jacobian, i.e. exactly
     the per-sample logq contribution of SurrogatePosterior._sample_igs.
     """
-    out, _ = _fwd(a_flat, b_flat, seed, S)
+    out, _ = _fwd(a_flat, b_flat, seed, S, antithetic)
     return out
 
 
-def _fwd(a_flat, b_flat, seed, S):
+def _fwd(a_flat, b_flat, seed, S, antithetic=False):
+    if antithetic and S % 2:
+        raise ValueError(f"antithetic sampling needs an even S, got {S}")
     total = a_flat.shape[0]
     rows, rows_padded = _pad_rows(total)
     a, b, logb = _precompute(a_flat, b_flat, total, rows_padded)
@@ -259,7 +280,8 @@ def _fwd(a_flat, b_flat, seed, S):
     param_spec = pl.BlockSpec((TR, LANES), lambda i, s: (i, 0),
                               memory_space=pltpu.VMEM)
     y, lq = pl.pallas_call(
-        functools.partial(_fwd_kernel, total=total, S=S),
+        functools.partial(_fwd_kernel, total=total, S=S,
+                          antithetic=antithetic),
         grid=(n_tiles, S),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [param_spec] * 4,
         out_specs=(
@@ -281,7 +303,7 @@ def _fwd(a_flat, b_flat, seed, S):
     return (y_flat, lq), (a_flat, b_flat, seed)
 
 
-def _bwd(S, res, cot):
+def _bwd(S, antithetic, res, cot):
     a_flat, b_flat, seed = res
     gy, glq = cot
     total = a_flat.shape[0]
@@ -301,7 +323,8 @@ def _bwd(S, res, cot):
     param_spec = pl.BlockSpec((TR, LANES), lambda i, s: (i, 0),
                               memory_space=pltpu.VMEM)
     ga, gb = pl.pallas_call(
-        functools.partial(_bwd_kernel, total=total, S=S),
+        functools.partial(_bwd_kernel, total=total, S=S,
+                          antithetic=antithetic),
         grid=(n_tiles, S),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [param_spec] * 4
         + [
@@ -328,13 +351,13 @@ def _bwd(S, res, cot):
 fused_ig_sample_logq.defvjp(_fwd, _bwd)
 
 
-def ig_sample_logq_reference(a_flat, b_flat, key, S):
+def ig_sample_logq_reference(a_flat, b_flat, key, S, antithetic=False):
     """Pure-JAX equivalent (threefry randomness; for statistical tests):
     the same math as SurrogatePosterior._sample_igs on a flat block."""
     from spmf_tpu.ops.gamma import wilson_hilferty_gamma
 
     a = jnp.broadcast_to(a_flat, (S,) + a_flat.shape)
-    g = wilson_hilferty_gamma(key, a)
+    g = wilson_hilferty_gamma(key, a, antithetic=antithetic)
     x = b_flat / g
     y = _softplus(x)
     lq = (

@@ -196,8 +196,8 @@ def fit_surrogate_posterior(
     sample axis — each draw keeps its marginal law so the ELBO estimate
     stays unbiased, but the pairs are negatively coupled, reducing
     gradient variance per sample (measured: docs/antithetic_experiment.json;
-    requires a pathwise gamma sampler, i.e. not ``gamma_sampler='exact'``,
-    and routes sampling through the XLA samplers).
+    requires a pathwise gamma sampler, i.e. not ``gamma_sampler='exact'``;
+    the fused IG kernel mirrors its in-kernel uniforms natively).
     ``prefetch`` sets how many batches the background assembly thread runs
     ahead of the device (0 disables threading). ``epoch_scan`` (default
     auto) runs each whole epoch as ONE jitted ``lax.scan`` dispatch when

@@ -204,9 +204,10 @@ class SurrogatePosterior:
         self.mesh = mesh
         self.feature_axes = dict(feature_axes or {})
         self.feature_axis = feature_axis
-        #: test hook: alternative (a_flat, b_flat, seed, S) -> (y, logq)
-        #: implementation (the pure-JAX ig_sample_logq_reference lets the
-        #: sharded assembly run on the virtual CPU mesh)
+        #: test hook: alternative (a_flat, b_flat, seed, S[, antithetic])
+        #: -> (y, logq) implementation (the pure-JAX
+        #: ig_sample_logq_reference lets the sharded assembly run on the
+        #: virtual CPU mesh; antithetic is passed as a kwarg only when True)
         self._ig_impl = None
         #: variables sampled ONCE per step and shared across the S ELBO
         #: samples (values broadcast; log q counted identically in every
@@ -391,14 +392,18 @@ class SurrogatePosterior:
                 return False
         return True
 
-    def _ig_kernel(self, a_flat, b_flat, seed, S):
+    def _ig_kernel(self, a_flat, b_flat, seed, S, antithetic=False):
         if self._ig_impl is not None:
+            if antithetic:
+                return self._ig_impl(a_flat, b_flat, seed, S,
+                                     antithetic=True)
             return self._ig_impl(a_flat, b_flat, seed, S)
         from spmf_tpu.ops.fused_ig import fused_ig_sample_logq
 
-        return fused_ig_sample_logq(a_flat, b_flat, seed, S)
+        return fused_ig_sample_logq(a_flat, b_flat, seed, S, antithetic)
 
-    def _sample_igs_fused_sharded(self, names, params, key, sample_shape):
+    def _sample_igs_fused_sharded(self, names, params, key, sample_shape,
+                                  antithetic=False):
         """Fused IG sampling composed with a feature-sharded mesh: the
         kernel runs per-shard inside ``jax.shard_map`` on the locally-owned
         slices of the fp-sharded variables (per-shard seeds via
@@ -420,7 +425,8 @@ class SurrogatePosterior:
 
         values, logq = {}, 0.0
         if repl:
-            v, lq = self._sample_igs_fused(repl, params, key, sample_shape)
+            v, lq = self._sample_igs_fused(repl, params, key, sample_shape,
+                                           antithetic=antithetic)
             values.update(v)
             logq = logq + lq
         if not sharded:
@@ -450,7 +456,7 @@ class SurrogatePosterior:
             sd = seed + jax.lax.axis_index(fp).astype(jnp.int32)
             a_flat = jnp.concatenate([a.reshape(-1) for a in ab[0::2]])
             b_flat = jnp.concatenate([b.reshape(-1) for b in ab[1::2]])
-            y, lq = kernel(a_flat, b_flat, sd, S)
+            y, lq = kernel(a_flat, b_flat, sd, S, antithetic=antithetic)
             outs, off = [], 0
             for ls in local_shapes:
                 sz = int(np.prod(ls))
@@ -466,7 +472,8 @@ class SurrogatePosterior:
             values[n] = block if sample_shape else block[0]
         return values, logq + (lq if sample_shape else lq[0])
 
-    def _sample_igs_fused(self, names, params, key, sample_shape):
+    def _sample_igs_fused(self, names, params, key, sample_shape,
+                          antithetic=False):
         """One Pallas kernel for the whole IG block: in-kernel RNG ->
         boosted-WH gamma -> IG transform -> softplus bijector -> logq
         partial sums (spmf_tpu.ops.fused_ig; VERDICT r1 #1)."""
@@ -480,7 +487,8 @@ class SurrogatePosterior:
         ])
         S = sample_shape[0] if sample_shape else 1
         seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
-        y, logq = self._ig_kernel(a_flat, b_flat, seed, S)
+        y, logq = self._ig_kernel(a_flat, b_flat, seed, S,
+                                  antithetic=antithetic)
         values = {}
         off = 0
         for n in names:
@@ -499,13 +507,15 @@ class SurrogatePosterior:
                     logq_params=None, antithetic=False):
         from spmf_tpu.ops.gamma import sample_gamma
 
-        if logq_params is None and not antithetic:
+        if logq_params is None:
+            # the fused kernels support antithetic natively (mirrored
+            # in-kernel uniforms, replayed identically by the VJP)
             if self._fused_igs_sharded_ok(names, sample_shape):
-                return self._sample_igs_fused_sharded(names, params, key,
-                                                      sample_shape)
+                return self._sample_igs_fused_sharded(
+                    names, params, key, sample_shape, antithetic=antithetic)
             if self._fused_igs_ok(names, sample_shape):
-                return self._sample_igs_fused(names, params, key,
-                                              sample_shape)
+                return self._sample_igs_fused(
+                    names, params, key, sample_shape, antithetic=antithetic)
 
         values, logq = {}, 0.0
         concs = [
@@ -555,8 +565,9 @@ class SurrogatePosterior:
         params). ``antithetic``: mirror base draws across the (1-d, even)
         sample axis — each sample keeps its marginal law, pairs are
         negatively coupled (variance reduction; fit(antithetic=True)).
-        Forces the XLA samplers too (the fused kernels generate RNG
-        in-kernel) and requires a pathwise gamma sampler."""
+        Requires a pathwise gamma sampler; the fused IG kernel mirrors its
+        in-kernel uniforms natively (the fused-Normal opt-in kernel does
+        not and is bypassed)."""
         sample_shape = tuple(sample_shape)
         if antithetic and (len(sample_shape) != 1 or sample_shape[0] % 2):
             raise ValueError("antithetic sampling needs a 1-d even sample "
