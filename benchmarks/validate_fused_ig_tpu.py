@@ -198,3 +198,61 @@ print("normal FD grad max rel err:", out["normal_fd_grad_max_rel_err"], flush=Tr
 with open(path, "w") as f:
     json.dump(out, f, indent=2)
 print("rewrote", os.path.abspath(path))
+
+# --------------------------------------------------- 6. antithetic kernel mode
+# fused_ig_sample_logq(..., antithetic=True): samples s and s+S/2 share a
+# seed stream with mirrored uniforms. Validate marginals (KS per (a,b)
+# block), pair anticorrelation, logq at the mirrored draws, and VJP grads.
+ya, lqa = jax.jit(fused_ig_sample_logq, static_argnums=(3, 4))(
+    a, b, 1234, S, True)
+ya = np.asarray(ya)
+ks_anti = {}
+for i, (av, bv) in enumerate([(0.7, 0.5), (1.5, 1.0), (3.0, 2.0), (5.0, 0.8)]):
+    block = ya[:, i * (n // 4):(i + 1) * (n // 4)].ravel()
+    stat = stats.kstest(
+        inv_softplus(block), lambda q: stats.invgamma.cdf(q, av, scale=bv)
+    ).statistic
+    ks_anti[f"a={av},b={bv}"] = float(stat)
+out["antithetic_ks_vs_invgamma"] = ks_anti
+print("antithetic KS:", ks_anti, flush=True)
+
+za = (ya - ya.mean(0)) / (ya.std(0) + 1e-12)
+out["antithetic_pair_corr"] = float((za[: S // 2] * za[S // 2:]).mean())
+print("antithetic pair corr:", out["antithetic_pair_corr"], flush=True)
+
+xa = inv_softplus(ya)
+direct_a = (
+    stats.invgamma.logpdf(xa, a_np[None, :], scale=b_np[None, :])
+    + np.asarray(_softplus(jnp.asarray(-xa)))
+).sum(axis=1)
+out["antithetic_logq_rel_err"] = float(
+    np.max(np.abs(np.asarray(lqa) - direct_a) / np.abs(direct_a)))
+print("antithetic logq rel err:", out["antithetic_logq_rel_err"], flush=True)
+
+
+@jax.jit
+def scalar_anti(a_, b_):
+    yy, ll = fused_ig_sample_logq(a_, b_, 777, Sg, True)
+    return jnp.sum(yy * wy) + jnp.sum(ll * wl)
+
+
+ga_a, gb_a = jax.jit(jax.grad(scalar_anti, (0, 1)))(ag, bg)
+fd_a = []
+for which, g in (("a", ga_a), ("b", gb_a)):
+    for i in idx[:6]:
+        h = 1e-2
+        basis = jnp.zeros(ng, jnp.float32).at[int(i)].set(h)
+        if which == "a":
+            fd = (scalar_anti(ag + basis, bg) - scalar_anti(ag - basis, bg)) / (2 * h)
+        else:
+            fd = (scalar_anti(ag, bg + basis) - scalar_anti(ag, bg - basis)) / (2 * h)
+        an = float(g[int(i)])
+        fd = float(fd)
+        fd_a.append(abs(fd - an) / max(abs(fd), abs(an), 1e-3))
+out["antithetic_fd_grad_max_rel_err"] = float(np.max(fd_a))
+print("antithetic FD grad max rel err:",
+      out["antithetic_fd_grad_max_rel_err"], flush=True)
+
+with open(path, "w") as f:
+    json.dump(out, f, indent=2)
+print("rewrote", os.path.abspath(path))

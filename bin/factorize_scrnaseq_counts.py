@@ -38,6 +38,13 @@ def main():
                          "--sparse) over all local devices via a dp mesh "
                          "(multi-host: call jax.distributed.initialize "
                          "before running)")
+    ap.add_argument("-s", "--sample-size", type=int, default=8,
+                    help="ELBO samples per step (default 8)")
+    ap.add_argument("--antithetic", action="store_true",
+                    help="mirrored-pair ELBO sampling: -s 4 --antithetic "
+                         "converges like 8 independent samples at ~half "
+                         "the per-step cost (docs/antithetic_experiment"
+                         ".json); sample size must be even")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="save a checkpoint per improving epoch here")
     ap.add_argument("--resume-from", default=None,
@@ -130,6 +137,8 @@ def main():
         abs_tol=1e-3,
         rel_tol=1e-3,
         clip_value=args.clip_value,
+        sample_size=args.sample_size,
+        antithetic=args.antithetic,
         checkpoint_dir=args.checkpoint_dir,
         resume_from=args.resume_from,
     )
