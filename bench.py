@@ -28,13 +28,15 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
 
-def build_step(model, optimizer, batch_rows, sample_size=S):
+def build_step(model, optimizer, batch_rows, sample_size=S,
+               antithetic=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     surrogate = model._surrogate
-    draw = lambda p, key: surrogate.sample_and_log_prob(p, key, (sample_size,))
+    draw = lambda p, key: surrogate.sample_and_log_prob(
+        p, key, (sample_size,), antithetic=antithetic)
     if getattr(model, "_bench_remat", True):
         draw = jax.checkpoint(draw, policy=jax.checkpoint_policies.nothing_saveable)
 
@@ -53,7 +55,8 @@ def build_step(model, optimizer, batch_rows, sample_size=S):
 
 def measure(device_kind: str, iters: int, fused: bool = False,
             gamma_sampler: str = "fast", remat: bool = True,
-            batch: int = B) -> float:
+            batch: int = B, samples: int = S,
+            antithetic: bool = False) -> float:
     """rows/sec of the jitted train step on the current default backend.
 
     gamma_sampler='fast' (boosted Wilson–Hilferty pathwise gradients) is the
@@ -76,7 +79,11 @@ def measure(device_kind: str, iters: int, fused: bool = False,
     model._bench_remat = remat
     optimizer = optax.chain(optax.clip(5.0), optax.adam(0.01))
     opt_state = optimizer.init(model.surrogate_params)
-    step = jax.jit(build_step(model, optimizer, batch), donate_argnums=(0, 1))
+    step = jax.jit(
+        build_step(model, optimizer, batch, sample_size=samples,
+                   antithetic=antithetic),
+        donate_argnums=(0, 1),
+    )
 
     data = {"counts": jnp.asarray(X), "indices": jnp.arange(batch)}
     params = model.surrogate_params
@@ -154,7 +161,12 @@ def main():
     # the TPU tunnel has ~1.7x ambient variance; try the three candidate
     # configurations in one process and keep the best
     tpu_rows = measure(jax.default_backend(), ITERS)
-    path, best_batch = "xla", B
+    path, best_batch, best_samples = "xla", B, S
+    # the antithetic candidates measure at S=4 with mirrored pairs — a
+    # DIFFERENT estimator with measured-equal convergence quality (same
+    # epochs-to-40.52, equal-or-lower gradient variance than S=8
+    # independent: docs/antithetic_experiment.json) — i.e. rows/sec at
+    # fixed statistical quality, labeled in the unit string
     for label, kw in (
         ("pallas-fused-noremat", dict(fused=True, remat=False)),
         ("pallas-fused-ig-noremat",
@@ -167,12 +179,19 @@ def main():
          dict(fused=True, gamma_sampler="fused", remat=False, batch=16384)),
         ("pallas-fused-ig-noremat",
          dict(fused=True, gamma_sampler="fused", remat=False, batch=32768)),
+        ("pallas-fused-ig-anti",
+         dict(fused=True, gamma_sampler="fused", remat=False, batch=16384,
+              samples=4, antithetic=True)),
+        ("pallas-fused-ig-anti",
+         dict(fused=True, gamma_sampler="fused", remat=False, batch=32768,
+              samples=4, antithetic=True)),
     ):
         try:
             rows = measure(jax.default_backend(), ITERS, **kw)
             if rows > tpu_rows:
                 tpu_rows, path = rows, label
                 best_batch = kw.get("batch", B)
+                best_samples = kw.get("samples", S)
         except Exception as e:  # pragma: no cover - kernel fallback
             print(f"# {label} unavailable: {type(e).__name__}", file=sys.stderr)
     try:
@@ -191,10 +210,13 @@ def main():
             epochs_to_parity = json.load(f)["default_x0.99"]["epochs_to_40.52"]
     except Exception:
         pass
+    sample_label = (f"{best_samples}-antithetic" if "anti" in path
+                    else str(best_samples))
     print(json.dumps({
         "metric": "elbo_train_rows_per_sec_per_chip",
         "value": round(tpu_rows, 1),
-        "unit": f"rows/sec (D={D}, P={P}, batch={best_batch}, samples={S}, f32, {path})",
+        "unit": f"rows/sec (D={D}, P={P}, batch={best_batch}, "
+                f"samples={sample_label}, f32, {path})",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "elbo_steps_per_sec": round(tpu_rows / best_batch, 2),
         "epochs_to_parity": epochs_to_parity,

@@ -41,6 +41,13 @@ def main():
     # additive flags (not in the reference CLI, whose flag surface is
     # otherwise preserved): preemption recovery for long factorizations,
     # same semantics as bin/factorize_scrnaseq_counts.py
+    parser.add_argument("-s", "--sample-size", nargs="?", type=int, default=8,
+                        help="ELBO samples per step. Default: 8")
+    parser.add_argument("--antithetic", action="store_true",
+                        help="mirrored-pair ELBO sampling: '-s 4 "
+                             "--antithetic' converges like 8 independent "
+                             "samples at ~half the step cost (docs/"
+                             "antithetic_experiment.json); needs even -s")
     parser.add_argument("--checkpoint-dir", nargs="?", type=str, default=None,
                         help="Write full-state engine checkpoints here "
                              "(per improving epoch)")
@@ -94,6 +101,8 @@ def main():
         rel_tol=1e-4,
         clip_value=args.clip_value,
         learning_rate=args.learning_rate,
+        sample_size=args.sample_size,
+        antithetic=args.antithetic,
         **fit_kwargs,
     )
 
