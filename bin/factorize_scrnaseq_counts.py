@@ -146,7 +146,9 @@ def main():
     U = np.asarray(factor.encoding_matrix())
     W = np.asarray(factor.intercept_matrix())
     intercept_score = W * col_norm[np.newaxis, :]
-    Z = np.asarray(factor.encode(X))
+    # stream the full-matrix encode in row chunks: encode(X) would stage
+    # all of X on device (100k x 50k f32 = 20 GB > a v5e chip's 16 GB HBM)
+    Z = factor.encode_batched(X, row_chunk=max(BATCH_SIZE, 8192))
     cell_score = Z * row_norm[:, np.newaxis]
     V = np.asarray(factor.decoding_matrix())
     gene_score = V * col_norm[np.newaxis, :]

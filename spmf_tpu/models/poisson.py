@@ -297,6 +297,31 @@ class PoissonFactorization(BayesianModel):
             z = z * xi_u
         return z
 
+    def encode_batched(self, x, u=None, s=None, row_chunk: int = 8192):
+        """``encode`` streamed over row chunks, collecting on host.
+
+        ``encode(X)`` materializes the whole matrix on device — at scRNA
+        export scale (100k x 50k f32 = 20 GB) that overflows a v5e chip's
+        16 GB HBM. This helper slices ``row_chunk`` rows at a time
+        (remainder padded to the chunk shape so every dispatched op reuses
+        one compiled shape) and returns a host ``np.ndarray``. Dispatches
+        through ``self.encode`` so subclass overrides (Bernoulli's
+        no-row-scaling encode) are honored. Exact same math as ``encode``."""
+        x = np.asarray(x)
+        if x.ndim != 2 or x.shape[0] <= row_chunk:
+            return np.asarray(self.encode(x, u, s))
+        n = x.shape[0]
+        out = []
+        for lo in range(0, n, row_chunk):
+            chunk = x[lo:lo + row_chunk]
+            pad = row_chunk - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, x.shape[1]), chunk.dtype)], axis=0)
+            z = np.asarray(self.encode(chunk, u, s))
+            out.append(z[:row_chunk - pad] if pad else z)
+        return np.concatenate(out, axis=0)
+
     def _observation_distribution(self, rate):
         """Decoder likelihood family hook — Poisson here; Bernoulli/Normal/
         mixed decoders override (reference poisson.py:178, bernoulli.py:148)."""

@@ -203,6 +203,22 @@ def test_autoencoder():
     assert np.isfinite(list(w.values())).all()
 
 
+def test_encode_batched_matches_encode(pois):
+    """encode_batched streams row chunks (padded remainder) and must equal
+    the one-shot encode exactly — including the scale_rows branch, whose
+    per-row sums must not see the zero padding rows."""
+    full = np.asarray(pois.encode(X))
+    chunked = pois.encode_batched(X, row_chunk=7)  # N=100 -> remainder 2
+    np.testing.assert_allclose(chunked, full, rtol=1e-6)
+    m = PoissonMatrixFactorization(
+        None, latent_dim=P, feature_dim=D, strategy=None,
+        u_tau_scale=1 / np.sqrt(N * D), dtype="float64", scale_rates=True,
+    )
+    np.testing.assert_allclose(
+        m.encode_batched(X, row_chunk=7), np.asarray(m.encode(X)), rtol=1e-6
+    )
+
+
 def test_legacy_api():
     data = ArrayDataset({"counts": X, "indices": np.arange(N)}).batch(50)
     m = PoissonMatrixFactorization(
