@@ -24,7 +24,7 @@ P = int(os.environ.get("FPB_P", 32))
 S = 8
 
 
-def run_fit(fit_kwargs, X, B, seed):
+def run_fit(fit_kwargs, X, B, seed, samples=S, antithetic=False):
     from spmf_tpu import PoissonFactorization
     from spmf_tpu.data import DeviceArrayDataset
 
@@ -34,7 +34,8 @@ def run_fit(fit_kwargs, X, B, seed):
     )
     ds = DeviceArrayDataset({"counts": X}, batch_size=B, shuffle=True,
                             seed=seed, drop_remainder=True)
-    model.fit(ds, sample_size=S, learning_rate=0.01, rel_tol=None,
+    model.fit(ds, sample_size=samples, antithetic=antithetic,
+              learning_rate=0.01, rel_tol=None,
               verbose=False, seed=seed, **fit_kwargs)
     res = model.last_fit
     secs = res.extras["epoch_seconds"]
@@ -47,6 +48,10 @@ def main():
     ap.add_argument("--rows", type=int, default=49152)
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=S,
+                    help="ELBO sample size (pair with --antithetic for the "
+                         "S4-antithetic operating point)")
+    ap.add_argument("--antithetic", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -68,7 +73,9 @@ def main():
     for rep in range(args.reps):
         for label, (fk, skip) in variants.items():
             t0 = time.perf_counter()
-            secs, _ = run_fit(fk, X, args.batch, seed=rep)
+            secs, _ = run_fit(fk, X, args.batch, seed=rep,
+                              samples=args.samples,
+                              antithetic=args.antithetic)
             steady = float(np.median(secs[skip:]))
             rows_sec = nb * args.batch / steady
             results[label].append(rows_sec)
@@ -81,7 +88,8 @@ def main():
         for k, v in results.items()
     }
     summary["config"] = {"rows": args.rows, "batch": args.batch, "D": D,
-                         "P": P, "S": S, "chunk": K}
+                         "P": P, "S": args.samples,
+                         "antithetic": args.antithetic, "chunk": K}
     print(json.dumps(summary, indent=1))
     if args.out:
         with open(args.out, "w") as f:
