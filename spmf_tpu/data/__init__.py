@@ -143,6 +143,22 @@ class DeviceArrayDataset:
     def prefetch(self, n=None):
         return self
 
+    def peek_batch(self):
+        """First batch WITHOUT a shuffle gather: a contiguous [0:bs) slice.
+
+        The engine's initial-loss eval (display-only; never seeds
+        best_loss) used ``next(iter(ds))``, whose shuffled ``jnp.take``
+        over the full device-resident tensor materializes a dataset-sized
+        HBM temp (measured: a 7.3 GB dataset OOMs a 16 GB chip before
+        training even compiles). A plain slice allocates only the batch.
+        Does not consume a shuffle epoch."""
+        import jax
+        bs = min(self._batch_size or self.num_rows, self.num_rows)
+        return {
+            k: jax.lax.dynamic_slice_in_dim(v, 0, bs)
+            for k, v in self.tensors.items()
+        }
+
     def __iter__(self):
         import jax
         import jax.numpy as jnp

@@ -630,8 +630,15 @@ def fit_surrogate_posterior(
             save_pytree(path, jax.device_get(tree_np))
         return path
 
-    # Initial loss on the first batch (reference prints "Initial loss: ...")
-    first_batch = next(iter(batched_data_factory()))
+    # Initial loss on the first batch (reference prints "Initial loss: ...").
+    # Device-resident datasets expose peek_batch (a contiguous slice) so
+    # this display-only eval doesn't pay a shuffled gather whose HBM temp
+    # is dataset-sized (data/__init__.py:peek_batch).
+    _src = getattr(batched_data_factory, "source", None)
+    if hasattr(_src, "peek_batch"):
+        first_batch = _src.peek_batch()
+    else:
+        first_batch = next(iter(batched_data_factory()))
     rng, k0 = jax.random.split(rng)
     initial_loss = float(eval_loss(params, k0, _device_batch(first_batch, dtype, mesh, data_axis)))
     say(f"Initial loss: {initial_loss}")

@@ -123,6 +123,29 @@ def test_device_dataset_shuffles_and_feeds_fit():
     assert np.isfinite(losses).all()
 
 
+def test_device_dataset_peek_batch_is_contiguous_slice():
+    """peek_batch returns rows [0:bs) with no shuffle gather and without
+    consuming a shuffle epoch — the engine's display-only initial-loss
+    eval uses it so a device-resident dataset never pays a dataset-sized
+    gather temp at startup (a 7.3 GB dataset OOMed a 16 GB chip)."""
+    from spmf_tpu.data import DeviceArrayDataset
+
+    x = RNG.poisson(1.0, (50, 4)).astype(np.float64)
+    dev = DeviceArrayDataset({"counts": x, "indices": np.arange(50)},
+                             batch_size=20, shuffle=True, seed=7)
+    peek = dev.peek_batch()
+    np.testing.assert_allclose(np.asarray(peek["counts"]), x[:20])
+    np.testing.assert_allclose(np.asarray(peek["indices"]), np.arange(20))
+    # peek does not advance the shuffle epoch: a peeked dataset's first
+    # real iteration sees the same epoch-0 permutation as a fresh one
+    fresh = DeviceArrayDataset({"counts": x, "indices": np.arange(50)},
+                               batch_size=20, shuffle=True, seed=7)
+    np.testing.assert_array_equal(
+        np.asarray(next(iter(dev))["indices"]),
+        np.asarray(next(iter(fresh))["indices"]),
+    )
+
+
 def test_native_csv_header_row_falls_back_and_raises(tmp_path):
     """A header row must NOT silently become a data row (ADVICE.md r1):
     the native parser rejects non-numeric tokens and the numpy fallback
