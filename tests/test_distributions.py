@@ -92,13 +92,35 @@ def test_lognormal_logprob():
 def test_exp1_vs_scipy():
     import scipy.special as sp
 
-    z = np.array([1e-4, 0.01, 0.5, 0.999, 1.0, 1.001, 3.0, 10.0, 25.0])
-    np.testing.assert_allclose(dist.exp1(jnp.array(z)), sp.exp1(z), rtol=1e-9)
-    # log_exp1 must stay finite deep into the tail
-    zt = np.array([50.0, 200.0, 600.0])
+    # dense grid over both rational intervals + the series branch; the
+    # loop-free rationals (tools/fit_exp1.py) are validated at 3.3e-14
+    z = np.concatenate(
+        [np.geomspace(1e-10, 1.0, 500), np.linspace(1.0, 650.0, 2000)]
+    )
+    np.testing.assert_allclose(dist.exp1(jnp.array(z)), sp.exp1(z), rtol=1e-12)
+    # log_exp1 must stay finite deep into the tail (scipy underflows ~700)
+    zt = np.array([50.0, 200.0, 600.0, 1e4, 1e8, 1e12])
     lt = dist.log_exp1(jnp.array(zt))
-    np.testing.assert_allclose(lt[:2], np.log(sp.exp1(zt[:2])), rtol=1e-8)
+    np.testing.assert_allclose(lt[:2], np.log(sp.exp1(zt[:2])), rtol=1e-12)
     assert np.isfinite(np.asarray(lt)).all()
+    # asymptotic tail: log E1(z) = -z - log z + log(1 - 1/z + 2/z^2 - ...)
+    za = np.asarray(zt[3:], float)
+    asym = -za - np.log(za) + np.log1p(-1.0 / za + 2.0 / za**2)
+    np.testing.assert_allclose(lt[3:], asym, rtol=1e-10)
+
+
+def test_exp1_gradients_match_analytic():
+    """E1'(z) = -e^{-z}/z exactly; d/dz log E1 = -e^{-z}/(z E1(z)).
+
+    The custom JVPs (special.py) must reproduce these — the log_exp1 one
+    backs the DenseHorseshoe weight-prior gradient in the autoencoder."""
+    import scipy.special as sp
+
+    z = np.array([1e-3, 0.2, 0.9, 1.0, 1.5, 3.8, 6.0, 12.0, 40.0, 300.0])
+    g1 = jax.vmap(jax.grad(dist.exp1))(jnp.array(z))
+    np.testing.assert_allclose(g1, -np.exp(-z) / z, rtol=1e-12)
+    g2 = jax.vmap(jax.grad(dist.log_exp1))(jnp.array(z))
+    np.testing.assert_allclose(g2, -np.exp(-z) / (z * sp.exp1(z)), rtol=1e-12)
 
 
 def test_horseshoe_density_integrates_to_one():
