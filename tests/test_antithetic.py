@@ -240,3 +240,21 @@ def test_model_fit_forwards_antithetic():
     losses = model.fit(data, num_steps=3, sample_size=4, rel_tol=None,
                        verbose=False, antithetic=True)
     assert len(losses) >= 1 and np.isfinite(losses).all()
+
+
+def test_autoencoder_fit_antithetic():
+    """fit(antithetic=True) composes with the PoissonAutoencoder's pure
+    mean-field-Normal surrogate (the step-time lever measured in
+    docs/autoencoder_sampler_ab.json: S=4 mirrored pairs halve both the
+    sampled-weight materialization and the S-scaled network matmuls)."""
+    from spmf_tpu import PoissonAutoencoder
+
+    rng = np.random.default_rng(1)
+    X = rng.poisson(1.0, size=(96, 10)).astype(float)
+    model = PoissonAutoencoder(
+        {"counts": X, "indices": np.arange(96)}, latent_dim=3,
+        dtype="float64",
+    )
+    losses = model.fit(batch_size=48, num_steps=3, sample_size=4,
+                       rel_tol=None, verbose=False, antithetic=True)
+    assert len(losses) >= 1 and np.isfinite(losses).all()
