@@ -12,6 +12,9 @@ setup(
         "(JAX/XLA/Pallas rebuild of mederrata/spmf)"
     ),
     packages=find_packages(include=["spmf_tpu", "spmf_tpu.*"]),
+    # the native fast-ingest source (compiled on demand by data/native.py,
+    # numpy fallback when no toolchain) must ship with the package
+    package_data={"spmf_tpu.data": ["_native/*.cpp"]},
     scripts=[
         "bin/factorize_csv.py",
         "bin/factorize_scrnaseq_counts.py",
