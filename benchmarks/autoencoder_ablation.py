@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -93,28 +92,11 @@ def main():
         arms[mode] = dict(step=step, p=model.surrogate_params,
                           o=opt.init(model.surrogate_params), times=[])
 
-    k = jax.random.PRNGKey(0)
-    per_round, rounds = max(args.iters // 5, 3), 5
-    for st in arms.values():  # compile + warmup
-        for i in range(per_round):
-            st["p"], st["o"], st["l"] = st["step"](st["p"], st["o"],
-                                                   jax.random.fold_in(k, i))
-        jax.block_until_ready(st["p"])
-    for r in range(rounds):
-        for st in arms.values():
-            t0 = time.perf_counter()
-            for i in range(per_round):
-                st["p"], st["o"], st["l"] = st["step"](
-                    st["p"], st["o"], jax.random.fold_in(k, r * 100 + i))
-            jax.block_until_ready(st["p"])
-            st["times"].append((time.perf_counter() - t0) / per_round)
+    from _interleave import run_interleaved_arms
 
     result = {"config": dict(D=args.d, B=args.batch, P=args.p, S=S)}
-    for name, st in arms.items():
-        ms = float(np.median(st["times"]) * 1000)
-        result[name] = {"ms_per_step": round(ms, 2),
-                        "loss": float(st["l"])}
-        print(f"{name:12s}: {ms:8.2f} ms/step", flush=True)
+    result.update(run_interleaved_arms(arms, jax.random.PRNGKey(0),
+                                       args.iters, label_width=12))
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

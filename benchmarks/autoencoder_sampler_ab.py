@@ -38,7 +38,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -92,7 +91,8 @@ def main():
             return optax.apply_updates(p, u), o2, loss
 
         return dict(step=step, p=model.surrogate_params,
-                    o=opt.init(model.surrogate_params), times=[])
+                    o=opt.init(model.surrogate_params),
+                    samples=s, antithetic=antithetic)
 
     arms = {
         "xla": make_arm(),
@@ -100,28 +100,16 @@ def main():
         "anti-s4": make_arm(s=4, antithetic=True),
     }
 
-    k = jax.random.PRNGKey(0)
-    per_round, rounds = max(args.iters // 5, 3), 5
-    for st in arms.values():  # compile + warmup
-        for i in range(per_round):
-            st["p"], st["o"], st["l"] = st["step"](st["p"], st["o"],
-                                                   jax.random.fold_in(k, i))
-        jax.block_until_ready(st["p"])
-    for r in range(rounds):
-        for st in arms.values():
-            t0 = time.perf_counter()
-            for i in range(per_round):
-                st["p"], st["o"], st["l"] = st["step"](
-                    st["p"], st["o"], jax.random.fold_in(k, r * 100 + i))
-            jax.block_until_ready(st["p"])
-            st["times"].append((time.perf_counter() - t0) / per_round)
+    from _interleave import run_interleaved_arms
 
-    result = {"config": dict(D=args.d, B=args.batch, P=args.p, S=S)}
+    k = jax.random.PRNGKey(0)
+    result = {"config": dict(D=args.d, B=args.batch, P=args.p)}
+    result.update(run_interleaved_arms(arms, k, args.iters))
+    # per-arm estimator config (the arms do NOT share a sample count —
+    # anti-s4's loss scale is an S=4 estimator, not a convergence delta)
     for name, st in arms.items():
-        ms = float(np.median(st["times"]) * 1000)
-        result[name] = {"ms_per_step": round(ms, 2), "loss": float(st["l"])}
-        print(f"{name:6s}: {ms:8.2f} ms/step   (final loss {float(st['l']):.2f})",
-              flush=True)
+        result[name]["samples"] = st["samples"]
+        result[name]["antithetic"] = st["antithetic"]
 
     # ----- estimator quality: per-leaf gradient variance at two operating
     # points (init, and after 200 warm steps of the xla arm) — the

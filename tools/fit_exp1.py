@@ -88,8 +88,12 @@ def validate(p, q, c, h, z_lo, z_hi):
 
 
 def emit(name, arr):
-    body = ",\n    ".join(f"{v!r}" for v in arr)
-    print(f"{name} = np.array([\n    {body}\n])")
+    """Print as a tuple of PLAIN Python floats — special.py's _horner
+    requires weak-typed scalar coefficients (an np.array or np.float64
+    table would promote f32 inputs to f64 under x64 and break the
+    'result dtype follows u' contract)."""
+    body = ",\n    ".join(f"{float(v)!r}" for v in arr)
+    print(f"{name} = (\n    {body},\n)")
 
 
 def main():
@@ -104,7 +108,7 @@ def main():
         val_err, at = validate(p, q, c, h, z_lo, z_hi)
         print(f"\n# z in [{z_lo}, {z_hi}): fit max rel {fit_err:.3e}, "
               f"validated max rel {val_err:.3e} at z={at:.4f}")
-        print(f"_{tag}_C, _{tag}_H = {c!r}, {h!r}")
+        print(f"_{tag}_C, _{tag}_H = {float(c)!r}, {float(h)!r}")
         emit(f"_{tag}_P", p)
         emit(f"_{tag}_Q", q)
 
