@@ -4,6 +4,7 @@ from .fused_poisson import (
     fused_poisson_loglik,
     fused_poisson_loglik_sharded,
     fused_poisson_row_loglik,
+    fused_poisson_row_loglik_sharded,
     normal_loglik_reference,
     poisson_loglik_reference,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "fused_poisson_loglik",
     "fused_poisson_loglik_sharded",
     "fused_poisson_row_loglik",
+    "fused_poisson_row_loglik_sharded",
     "normal_loglik_reference",
     "poisson_loglik_reference",
     "sparse_encode_coo",

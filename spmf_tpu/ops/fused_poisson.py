@@ -647,6 +647,52 @@ def fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform=False,
     return out[:, :B]
 
 
+def fused_poisson_row_loglik_sharded(theta, v, phi, x, eta, mesh,
+                                     log_transform=False, interpret=False,
+                                     data_axis="dp", feature_axis="fp",
+                                     likelihood="poisson", codes=None):
+    """Mesh-composed per-row log-likelihood sums, shape (S, B) f32
+    (VERDICT r3 #2): each shard runs the streaming row kernel on its
+    (B/dp, D/fp) tile, the per-row feature sums ``lax.psum`` over fp, and
+    rows stay dp-local — meshed WAIC / held-out scoring never
+    materializes (S, B, D), exactly like the single-device path. The
+    output is dp-sharded over rows (replicated over fp). Evaluation-only
+    (no VJP), matching ``fused_poisson_row_loglik``."""
+    from jax.sharding import PartitionSpec as P
+
+    _check_likelihood(likelihood, codes)
+    theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
+    dp = (data_axis if data_axis in mesh.axis_names
+          and mesh.shape[data_axis] > 1 else None)
+    fp = (feature_axis if feature_axis in mesh.axis_names
+          and mesh.shape[feature_axis] > 1 else None)
+    if dp is None and fp is None:
+        return fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform,
+                                        interpret, likelihood, codes)
+
+    def body(theta, v, phi, x, eta, codes):
+        out = fused_poisson_row_loglik(theta, v, phi, x, eta, log_transform,
+                                       interpret, likelihood, codes)
+        if fp is not None:
+            out = jax.lax.psum(out, fp)
+        return out
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None, dp, None),   # theta (S, B, K)
+            P(None, None, fp),   # v     (S, K, D)
+            P(None, None, fp),   # phi   (S, 1, D)
+            P(dp, fp),           # x     (B, D)
+            P(None, fp),         # eta   (1, D)
+            P(None, fp),         # codes (1, D)
+        ),
+        out_specs=P(None, dp),
+        check_vma=False,
+    )(theta, v, phi, x, eta, codes)
+
+
 # --------------------------------------------------------------------------
 # Exp-rate total for the SPARSE energy with the log-transform decode link:
 #     R_s = sum_ij exp((theta_s @ v_s) * eta)

@@ -129,6 +129,25 @@ def _snapshot(tree):
     return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
+def _host_tree(tree):
+    """``jax.device_get`` that tolerates cross-host-sharded leaves
+    (VERDICT r3 #3: a dp x fp layout spanning processes makes params
+    non-fully-addressable, and a plain device_get raises on a real pod):
+    addressable arrays fetch directly; the rest are process-allgathered,
+    so every host ends with the full global value. The allgather is a
+    COLLECTIVE — all processes must call this together (they do: the fit
+    loop's control flow is identical on every host)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    for x in leaves:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        out.append(np.asarray(jax.device_get(x)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @jax.jit
 def _copy_arrays(tree):
     return jax.tree_util.tree_map(jnp.copy, tree)
@@ -201,11 +220,18 @@ def fit_surrogate_posterior(
     ``prefetch`` sets how many batches the background assembly thread runs
     ahead of the device (0 disables threading). ``epoch_scan`` (default
     auto) runs each whole epoch as ONE jitted ``lax.scan`` dispatch when
-    the data source is a device-resident ``DeviceArrayDataset`` on a
-    single unmeshed device — shuffle, batch gathers, and every train step
+    the data source is a device-resident ``DeviceArrayDataset`` in a
+    single process — shuffle, batch gathers, and every train step
     execute on-chip with no per-batch host dispatches (the per-batch
     Python loop costs ~6 eager dispatches/batch through the remote-device
     tunnel, which at production batch sizes rivals the step itself).
+    Composes with a ``mesh``: the dataset tensors are sharded over dp
+    (rows) x fp (wide columns), the in-scan shuffled gather compiles to a
+    partitioned gather, and each batch is constrained back to the dp x fp
+    layout the sharded step math expects — a v5e-8 data-parallel fit
+    rides the same single-dispatch epochs as a single chip (multi-host
+    fits keep the general loop: their batches are assembled per-process
+    on host).
     ``epoch_chunk`` (scan path only) additionally runs K epochs per
     dispatch with the per-epoch best/plateau/divergence control flow
     executed on device — the default (None) engages K=8 adaptively once
@@ -335,13 +361,20 @@ def fit_surrogate_posterior(
             treedef = jax.tree_util.tree_structure(opt_state)
             init_flat = jax.tree_util.tree_leaves(opt_state)
             if len(_resume_opt_leaves) == len(init_flat):
-                restored = [
-                    jax.device_put(
-                        jnp.asarray(a, jnp.asarray(b).dtype),
-                        getattr(b, "sharding", None),
-                    )
-                    for a, b in zip(_resume_opt_leaves, init_flat)
-                ]
+                restored = []
+                for a, b in zip(_resume_opt_leaves, init_flat):
+                    arr = jnp.asarray(a, jnp.asarray(b).dtype)
+                    sh = getattr(b, "sharding", None)
+                    # re-place only onto real (mesh) shardings: device_put
+                    # onto a single-device sharding COMMITS the array, and
+                    # a committed local scalar (optax's step count, which
+                    # init creates on the default device) can then no
+                    # longer mix with global-mesh-sharded leaves in the
+                    # jitted step on a multi-host mesh
+                    if sh is not None and not isinstance(
+                            sh, jax.sharding.SingleDeviceSharding):
+                        arr = jax.device_put(arr, sh)
+                    restored.append(arr)
                 opt_state = jax.tree_util.tree_unflatten(treedef, restored)
             else:  # different optimizer config (e.g. clip chain changed)
                 import warnings
@@ -445,14 +478,14 @@ def fit_surrogate_posterior(
         from spmf_tpu.data import DeviceArrayDataset
 
         _src = getattr(batched_data_factory, "source", None)
-        eligible = mesh is None and jax.process_count() == 1
+        eligible = jax.process_count() == 1
         if isinstance(_src, DeviceArrayDataset) and eligible:
             _scan_ds = _src
         elif epoch_scan:
             raise ValueError(
-                "epoch_scan=True requires a DeviceArrayDataset source, "
-                "mesh=None, and a single process; got "
-                f"source={type(_src).__name__}, mesh={mesh}, "
+                "epoch_scan=True requires a DeviceArrayDataset source "
+                "and a single process (meshes are fine); got "
+                f"source={type(_src).__name__}, "
                 f"processes={jax.process_count()}"
             )
 
@@ -481,6 +514,46 @@ def fit_surrogate_posterior(
             for k, v in ds.tensors.items()
         }
 
+        # Mesh composition (VERDICT r3 #1): the dataset tensors live
+        # SHARDED across the mesh — rows over dp, wide column dims over fp
+        # (each device holds only its tile); the in-scan shuffled gather
+        # then compiles to a partitioned gather (local gather + masked
+        # reduce-scatter over dp — batch-sized communication, never a
+        # dataset-sized all-gather on the output side), and each gathered
+        # batch is re-constrained to the dp x fp layout the sharded step
+        # math (fused kernels, fp param contractions) already expects.
+        # Without this, a meshed fit fell back to the per-batch eager loop
+        # whose dispatch overhead the scan path was built to eliminate
+        # (~55 ms/batch measured, docs/ROADMAP.md 4b).
+        _constrain_batch = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _fp = _fp_axis(mesh)
+            _dp_n = mesh.shape[data_axis] if data_axis in mesh.axis_names \
+                else 1
+
+            def _row_spec(nrows, arr):
+                axes = [None] * arr.ndim
+                if _dp_n > 1 and nrows % _dp_n == 0:
+                    axes[0] = data_axis
+                if (_fp is not None and arr.ndim >= 2 and arr.shape[1] > 1
+                        and arr.shape[1] % mesh.shape[_fp] == 0):
+                    axes[1] = _fp
+                return NamedSharding(mesh, P(*axes))
+
+            ds_tensors = {
+                k: jax.device_put(v, _row_spec(n_rows_ds, v))
+                for k, v in ds_tensors.items()
+            }
+
+            def _constrain_batch(b):
+                return {
+                    k: jax.lax.with_sharding_constraint(
+                        v, _row_spec(v.shape[0], v))
+                    for k, v in b.items()
+                }
+
         def _epoch_math(p, o, key, tensors):
             """One epoch (shuffle, batch scan, remainder) as traced jax."""
             perm_key, step_key = jax.random.split(key)
@@ -489,8 +562,9 @@ def fit_surrogate_posterior(
 
             def gather(start, size):
                 sl = jax.lax.dynamic_slice_in_dim(idx, start, size)
-                return {k: jnp.take(v, sl, axis=0)
-                        for k, v in tensors.items()}
+                b = {k: jnp.take(v, sl, axis=0)
+                     for k, v in tensors.items()}
+                return _constrain_batch(b) if _constrain_batch else b
 
             def body(carry, args):
                 start, k_ = args
@@ -593,6 +667,19 @@ def fit_surrogate_posterior(
 
     ckpt_path = None
     run_id = str(uuid.uuid4())
+    if jax.process_count() > 1 and checkpoint_dir is not None:
+        # every process must agree on the run directory and file names
+        # (process 0's files ARE the checkpoint; per-process uuids would
+        # scatter the resumable state across directories)
+        from jax.experimental import multihost_utils
+
+        run_id = bytes(
+            np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.frombuffer(run_id.encode("ascii"), np.uint8)
+                )
+            )
+        ).decode("ascii")
     if checkpoint_dir is not None:
         ckpt_path = os.path.join(checkpoint_dir, run_id)
         os.makedirs(ckpt_path, exist_ok=True)
@@ -603,6 +690,13 @@ def fit_surrogate_posterior(
         from spmf_tpu.utils.checkpoint import save_fit_state, save_pytree
 
         path = os.path.join(ckpt_path, f"{run_id}-{int(tag) + epoch_offset}.npz")
+        # gather BEFORE the process-0 gate: _host_tree's allgather of
+        # cross-host-sharded leaves is a collective every process joins
+        tree_np = _host_tree(tree_np)
+        if opt_tree is not None:
+            opt_tree = _host_tree(opt_tree)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return path  # process 0 writes; others report the same path
         if checkpoint_full_state and opt_tree is not None:
             # full-state checkpoint: params stay under load_pytree's leaf
             # naming (params-only consumers read the file unchanged), plus
@@ -617,8 +711,8 @@ def fit_surrogate_posterior(
             )
             save_fit_state(
                 path,
-                jax.device_get(tree_np),
-                jax.device_get(opt_tree),
+                tree_np,
+                opt_tree,
                 meta={
                     "lr": float(np.float32(c_lr)),
                     "best_loss": float(c_loss),
@@ -627,13 +721,17 @@ def fit_surrogate_posterior(
                 },
             )
         else:
-            save_pytree(path, jax.device_get(tree_np))
+            save_pytree(path, tree_np)
         return path
 
     # Initial loss on the first batch (reference prints "Initial loss: ...").
     # Device-resident datasets expose peek_batch (a contiguous slice) so
-    # this display-only eval doesn't pay a shuffled gather whose HBM temp
-    # is dataset-sized (data/__init__.py:peek_batch).
+    # this eval doesn't pay a shuffled gather whose HBM temp is
+    # dataset-sized (data/__init__.py:peek_batch). NOTE it is not purely
+    # cosmetic: initial_loss is returned as losses[0] and enters the first
+    # rel-tol window — on row-ordered datasets a contiguous [0:bs) slice
+    # can be unrepresentative of the dataset average (it never seeds
+    # best_loss, so training decisions are unaffected; r3 advisor note).
     _src = getattr(batched_data_factory, "source", None)
     if hasattr(_src, "peek_batch"):
         first_batch = _src.peek_batch()
@@ -755,7 +853,7 @@ def fit_surrogate_posterior(
         if run_epoch is None:
             raise ValueError(
                 "epoch_chunk > 1 requires the epoch_scan fast path "
-                "(DeviceArrayDataset source, mesh=None, single process)"
+                "(DeviceArrayDataset source, single process)"
             )
         chunk_size = epoch_chunk
 

@@ -55,6 +55,35 @@ def main():
             sample_size=8, num_steps=3, learning_rate=0.05, rel_tol=None,
             verbose=False, dtype=jnp.float64, seed=0, mesh=mesh,
         )
+    elif mode == "pf_dpfp_ckpt":
+        # save -> (simulated preemption) -> resume over the cross-host
+        # dp x fp layout: full-state checkpoints of params sharded ACROSS
+        # the two hosts (VERDICT r3 #3 — device_get of non-addressable
+        # arrays must not crash the save, and the resume must re-place
+        # onto the live layout)
+        from spmf_tpu import PoissonFactorization
+        from test_multiprocess import pf_problem
+
+        ckdir = sys.argv[5]
+        X, data = pf_problem()
+        mesh = global_mesh(("dp", "fp"), shape=(2, 2))
+
+        def build():
+            return PoissonFactorization(
+                latent_dim=2, feature_dim=X.shape[1], u_tau_scale=0.1,
+                dtype="float64", mesh=mesh,
+            )
+
+        m1 = build()
+        m1.fit(batched_data_factory=data, num_steps=2, learning_rate=0.05,
+               rel_tol=None, sample_size=4, seed=0, verbose=False,
+               checkpoint_dir=ckdir)
+        # "preemption": a fresh model resumes from the newest checkpoint
+        m2 = build()
+        m2.fit(batched_data_factory=data, num_steps=2, learning_rate=0.05,
+               rel_tol=None, sample_size=4, seed=0, verbose=False,
+               resume_from=ckdir)
+        result = m2.last_fit
     elif mode == "pf_dpfp":
         # the flagship model over a dp x fp mesh spanning BOTH processes:
         # rows shard over dp, the feature dim of u/v/w/s over fp — the

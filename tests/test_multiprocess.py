@@ -38,13 +38,13 @@ def pf_problem():
     return X, data
 
 
-def _run_workers(mode: str):
+def _run_workers(mode: str, *extra: str):
     worker = os.path.join(os.path.dirname(__file__),
                           "_multiprocess_fit_worker.py")
     port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", port, mode],
+            [sys.executable, worker, str(i), "2", port, mode, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for i in range(2)
@@ -116,3 +116,48 @@ def test_two_process_dpxfp_model_fit_matches_single_process():
         rel_tol=None, sample_size=4, seed=0, verbose=False,
     )
     np.testing.assert_allclose(traces[0], losses, rtol=1e-10)
+
+
+def test_two_process_checkpoint_resume_drill(tmp_path):
+    """VERDICT r3 #3: full-state preemption recovery over the CROSS-HOST
+    dp x fp layout. Run 1 writes full-state checkpoints of params whose fp
+    shards live on different hosts (the save must allgather, not
+    device_get, and only process 0 may write); run 2 is a fresh model
+    resuming from the directory. Both hosts must agree, and the resumed
+    trajectory must match a single-process save->resume drill over the
+    same 2x2 layout at 1e-10."""
+    traces = _run_workers("pf_dpfp_ckpt", str(tmp_path / "mp"))
+    np.testing.assert_array_equal(traces[0], traces[1])
+
+    # exactly one run directory, written once (process 0 only)
+    import glob
+
+    files = glob.glob(str(tmp_path / "mp" / "**" / "*.npz"), recursive=True)
+    assert files, "no checkpoint written by the 2-process run"
+
+    # single-process equivalent over the same 2x2 mesh
+    import jax
+
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.parallel.mesh import make_mesh
+
+    X, data = pf_problem()
+    mesh = make_mesh(shape=(2, 2), axis_names=("dp", "fp"),
+                     devices=jax.devices()[:4])
+
+    def build():
+        return PoissonFactorization(
+            latent_dim=2, feature_dim=X.shape[1], u_tau_scale=0.1,
+            dtype="float64", mesh=mesh,
+        )
+
+    sp_dir = str(tmp_path / "sp")
+    m1 = build()
+    m1.fit(batched_data_factory=data, num_steps=2, learning_rate=0.05,
+           rel_tol=None, sample_size=4, seed=0, verbose=False,
+           checkpoint_dir=sp_dir)
+    m2 = build()
+    m2.fit(batched_data_factory=data, num_steps=2, learning_rate=0.05,
+           rel_tol=None, sample_size=4, seed=0, verbose=False,
+           resume_from=sp_dir)
+    np.testing.assert_allclose(traces[0], m2.last_fit.losses, rtol=1e-10)
