@@ -66,8 +66,14 @@ def main():
     name = args.dataset
     X = np.load(datapath + name + "_counts.npy")
     gene_names = np.load(datapath + name + "_genenames.npy", allow_pickle=True)
-    umap_path = datapath + name + "_UMAP_scanpy.npy"
-    UMAP = np.load(umap_path) if os.path.exists(umap_path) else None
+    # scanpy backend: a real UMAP; numpy backend: an honestly-named PCA
+    # stand-in — label the figure by what was actually found
+    UMAP, emb_label = None, "UMAP"
+    for _path, _label in ((datapath + name + "_UMAP_scanpy.npy", "UMAP"),
+                          (datapath + name + "_PCA.npy", "PCA")):
+        if os.path.exists(_path):
+            UMAP, emb_label = np.load(_path), _label
+            break
 
     P = args.dimension
     N, D = X.shape
@@ -193,9 +199,10 @@ def main():
             sc = axes[j].scatter(
                 UMAP[:, 0], UMAP[:, 1], c=cell_score[:, j], s=2, cmap="viridis"
             )
-            axes[j].set_title(f"factor {j}")
+            axes[j].set_title(f"factor {j} ({emb_label})")
             fig.colorbar(sc, ax=axes[j])
-        plt.savefig(datapath + name + f"_UMAP_scores_{P}.pdf", bbox_inches="tight")
+        plt.savefig(datapath + name + f"_{emb_label}_scores_{P}.pdf",
+                    bbox_inches="tight")
         plt.close(fig)
 
     fig, ax = plt.subplots()

