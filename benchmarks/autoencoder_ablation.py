@@ -80,6 +80,11 @@ def main():
     for mode in ("full", "fwd", "no-prior", "no-like", "sample-only"):
         loss_fn = make_loss("full" if mode == "fwd" else mode)
         if mode == "fwd":
+            # CAVEAT (r3 advisor): this arm never updates params, so it
+            # times the forward at frozen init operands while the other
+            # arms walk toward convergence — the decomposition is coarse;
+            # re-measure at the 'full' arm's evolving params if precision
+            # matters
             @jax.jit
             def step(p, o, key, _f=loss_fn):
                 return p, o, _f(p, key)
