@@ -63,7 +63,10 @@ def main():
     ap.add_argument("--elems", type=int, default=256 * 2**20,
                     help="f32 elements for the VPU probes (default 256M)")
     ap.add_argument("-S", type=int, default=8)
-    ap.add_argument("-B", type=int, default=32768)
+    # B=8192 keeps the x upload at 655 MB (the headline B=32768 slab is
+    # 2.6 GB, which takes many minutes to stage through the tunnel); the
+    # kernel's per-cell rate is tile-local and batch-size-insensitive
+    ap.add_argument("-B", type=int, default=8192)
     ap.add_argument("-K", type=int, default=32)
     ap.add_argument("-D", type=int, default=20000)
     args = ap.parse_args()
@@ -97,18 +100,26 @@ def main():
         "div1": (lambda y: 1.0 / (y + 1.0), 2),
     }
 
-    def fma16(y):
-        for _ in range(8):
-            y = y * 1.0000001 + 1e-7
-        return y
+    def fma_chain(k):
+        def body(y):
+            for _ in range(k):
+                y = y * 1.0000001 + 1e-7
+            return y
+        return body
 
-    def log8(y):
-        for _ in range(8):
-            y = jnp.log(y + 2.0)
-        return y
+    def log_chain(k):
+        def body(y):
+            for _ in range(k):
+                y = jnp.log(y + 2.0)
+            return y
+        return body
 
-    probes["fma_chain16"] = (fma16, 16)
-    probes["log_chain8"] = (log8, 16)  # 8 logs + 8 adds
+    # 16 ops/elem measured memory-bound (~298 GB/s wall, same as copy);
+    # the 128/64-op chains are what actually expose the VPU ceilings
+    probes["fma_chain16"] = (fma_chain(8), 16)
+    probes["fma_chain128"] = (fma_chain(64), 128)
+    probes["log_chain8"] = (log_chain(8), 16)  # 8 logs + 8 adds
+    probes["log_chain64"] = (log_chain(64), 128)  # 64 logs + 64 adds
     for name, (body, ops) in probes.items():
         dt = timeit(chained(body), x)
         out[name] = {
@@ -153,30 +164,33 @@ def main():
     xc = jnp.asarray(rng.poisson(1.0, (B, D)).astype(np.float32))
     cells = S * B * D
 
+    # v/phi/x ride as jit ARGUMENTS: closing over them captures 2.6 GB of
+    # constants into the lowering and the remote-compile request (the
+    # tunnel hangs/413s — CLAUDE.md; observed here before the fix)
     @jax.jit
-    def fwd_loop(t):
+    def fwd_loop(t, v, phi, xc):
         def body(i, y):
             s = fused_poisson_loglik(y, v, phi, xc, 1.0)
             return y + s[:, None, None] * 1e-12
         return lax.fori_loop(0, LOOP, body, t)
 
-    dt = timeit(fwd_loop, theta)
+    dt = timeit(fwd_loop, theta, v, phi, xc)
     out["fused_kernel_fwd"] = {"sec_per_iter": dt,
                                "cell_samples_per_sec": cells / dt}
     print(f"fused fwd(+spec grads): {cells / dt / 1e9:6.2f} Gcell-samp/s "
           f"({dt * 1e3:.1f} ms)")
 
-    gfn = jax.grad(lambda t, vv, p: jnp.sum(
+    gfn = jax.grad(lambda t, vv, p, xc: jnp.sum(
         fused_poisson_loglik(t, vv, p, xc, 1.0)), argnums=(0, 1, 2))
 
     @jax.jit
-    def bwd_loop(t):
+    def bwd_loop(t, v, phi, xc):
         def body(i, y):
-            dt_, dv_, dp_ = gfn(y, v, phi)
+            dt_, dv_, dp_ = gfn(y, v, phi, xc)
             return y + dt_ * 1e-12
         return lax.fori_loop(0, LOOP, body, t)
 
-    dt = timeit(bwd_loop, theta)
+    dt = timeit(bwd_loop, theta, v, phi, xc)
     out["fused_kernel_fwdbwd"] = {"sec_per_iter": dt,
                                   "cell_samples_per_sec": cells / dt}
     print(f"fused fwd+bwd (vjp): {cells / dt / 1e9:6.2f} Gcell-samp/s "
