@@ -23,15 +23,17 @@ LOG="$REPO/examples/artifacts/corpus_walkthrough.log"
     --datapath "$WORK" --dataset corpus --n-top-genes 2000 --backend numpy
   echo "-- factorize (TPU; device-resident epoch-scan engine) --"
   python "$REPO/bin/factorize_scrnaseq_counts.py" \
-    --datapath "$WORK" --dataset corpus -d 10 -b 512 -e 12 -lr 0.05 \
+    --datapath "$WORK" --dataset corpus -d 10 -b 512 -e 80 -lr 0.05 \
     --no-figures
   echo "-- figures --"
   python "$REPO/bin/plot_scrnaseq_figures.py" \
     --datapath "$WORK" --dataset corpus -d 10
   echo "-- artifacts --"
   ls -la "$WORK" | grep corpus
-  echo "-- top terms per factor (real-data sanity: factors should collect"
-  echo "   thematically related vocabulary) --"
+  echo "-- top ENRICHED terms per factor (gene score relative to the"
+  echo "   cross-factor mean; raw scores are dominated by overall term"
+  echo "   abundance). Real-data sanity: factors should collect"
+  echo "   thematically related vocabulary --"
   python - "$WORK" << 'EOF'
 import sys
 
@@ -40,8 +42,9 @@ import numpy as np
 w = sys.argv[1]
 gs = np.load(f"{w}/corpus_genescore_10.npy")
 names = np.load(f"{w}/corpus_genenames.npy", allow_pickle=True)
+rel = gs / (gs.mean(0, keepdims=True) + 1e-12)
 for j in range(gs.shape[0]):
-    top = np.argsort(-gs[j])[:8]
+    top = np.argsort(-rel[j])[:8]
     print(f"factor {j:2d}: " + " ".join(str(names[t]) for t in top))
 EOF
 } 2>&1 | tee "$LOG"
