@@ -526,7 +526,12 @@ def fit_surrogate_posterior(
         # whose dispatch overhead the scan path was built to eliminate
         # (~55 ms/batch measured, docs/ROADMAP.md 4b).
         _constrain_batch = None
-        if mesh is not None:
+        if mesh is not None and any(
+                mesh.shape[a] > 1 for a in mesh.axis_names):
+            # trivial (all-size-1) meshes skip the plumbing entirely: the
+            # device_put/with_sharding_constraint round-trips measured a
+            # ~13% epoch overhead on a (1,1) mesh with nothing to shard
+            # (docs/mesh_scan_tpu_check.json)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             _fp = _fp_axis(mesh)
