@@ -91,7 +91,7 @@ def main():
     )
     data = ArrayDataset({"counts": Xw, "indices": np.arange(B)}).batch(B)
     t0 = time.perf_counter()
-    w = mw.waic(data=data, num_samples=100, sample_chunk=10)
+    w = mw.waic(data=data, num_samples=100, sample_chunk=8)
     out["meshed_waic_D20k_S100"] = {
         "seconds": time.perf_counter() - t0,
         "finite": bool(np.isfinite(w["waic"])),

@@ -222,7 +222,7 @@ class BayesianModel:
 
     # ------------------------------------------------------------- reporting
     def waic(self, data=None, num_samples: int = 100, seed: int = 1,
-             subsample=None, sample_chunk: int = 10):
+             subsample=None, sample_chunk: int = 8):
         """{'waic','se','lppd','pwaic'} pointwise per-row (reference
         observed output: notebooks/factorizing_random_noise cell 9).
 
@@ -252,7 +252,7 @@ class BayesianModel:
         )
 
     def log_likelihood(self, data=None, num_samples: int = 100, seed: int = 1,
-                       sample_chunk: int = 10):
+                       sample_chunk: int = 8):
         """Predictive log-likelihood of ``data`` under the calibrated
         posterior: ``{'total','per_row','n_rows'}`` where ``total`` is the
         lppd (``sum_i log mean_s exp(ll_is)``, the pointwise predictive

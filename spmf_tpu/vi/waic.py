@@ -8,13 +8,25 @@ over per-row log-likelihoods; ``se = sqrt(N * var_i(waic_i))``.
 (Check vs reference values: -2*(-37090.95 - 135483.30) = 345148.50 ✓,
 notebooks/factorizing_random_noise.ipynb cell 9.)
 
-Posterior samples are drawn in CHUNKS (default 10) and reduced with
+Posterior samples are drawn in CHUNKS (default 8) and reduced with
 streaming moments, so WAIC at production scale (D=20k, 100 samples) never
 holds more than one (chunk, B)-shaped ll block — composing with the fused
 per-row Pallas kernel (ops/fused_poisson.fused_poisson_row_loglik), which
 itself never materializes (S, B, D). With ``sample_chunk=num_samples`` the
 single chunk consumes the per-batch key directly, so the draws (and the
 result) are bit-identical to an unchunked evaluation.
+
+The default chunk is 8, NOT 10: an XLA:TPU miscompilation was isolated
+(r4) at sample dim S=10 on the production shape (B=4096, D=20000, K=32)
+— the in-jit batched encode emitted negative theta from all-positive
+operands, poisoning the per-row log-likelihoods with NaN. A 12-point
+sweep (S = 1..7, 9, 10, 12, 16, 20; /tmp-probe recorded in
+docs/mesh_scan_tpu_check.json and CLAUDE.md) corrupts ONLY at S=10;
+the Pallas kernels were exonerated (pure-XLA path reproduces, and the
+row kernel matches XLA at 4e-7 for S=10 standalone). ``waic`` also
+warns when a log-likelihood block is non-finite, so a future
+recurrence (or a genuinely degenerate model) is loud instead of a
+silent NaN result.
 """
 from __future__ import annotations
 
@@ -31,14 +43,30 @@ def streaming_waic_terms(ll_chunks) -> tuple:
     """Exact (lppd_i, pwaic_i) from an iterable of (S_c, B) per-row
     log-likelihood blocks over the SAME rows: accumulates the running
     log-sum-exp, sum, and sum-of-squares (float64), so the result equals
-    the one-shot formulas on the concatenated (S, B) matrix."""
+    the one-shot formulas on the concatenated (S, B) matrix. Warns once
+    if a block contains non-finite entries (the downstream result will
+    be non-finite) — see the module docstring's S=10 miscompile note."""
     from scipy.special import logsumexp as _host_lse
 
     lse = None
     s1 = s2 = 0.0
     n = 0
+    warned = False
     for ll in ll_chunks:
         ll = np.asarray(ll, np.float64)
+        if not warned and not np.isfinite(ll).all():
+            import warnings
+
+            warned = True
+            warnings.warn(
+                f"{int((~np.isfinite(ll)).sum())} non-finite per-row "
+                "log-likelihood values entered WAIC (chunk shape "
+                f"{ll.shape}); the result will be non-finite. If the "
+                "model trains finite, suspect the sample-dim S="
+                f"{ll.shape[0]} XLA:TPU miscompile (vi/waic.py docstring)"
+                " — use a power-of-two sample_chunk.",
+                RuntimeWarning,
+            )
         c = _host_lse(ll, axis=0)  # host-side: no device round-trips
         lse = c if lse is None else np.logaddexp(lse, c)
         s1 = s1 + ll.sum(axis=0)
@@ -58,7 +86,7 @@ def waic(
     num_samples: int = 100,
     seed: int = 1,
     dtype=jnp.float64,
-    sample_chunk: int = 10,
+    sample_chunk: int = 8,
 ) -> dict:
     sample_chunk = min(sample_chunk, num_samples)
     n_chunks = num_samples // sample_chunk
