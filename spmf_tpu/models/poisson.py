@@ -107,6 +107,7 @@ class PoissonFactorization(BayesianModel):
         gamma_sampler=None,
         aux_broadcast=False,
         sparse_dense_scatter=None,
+        likelihood_clip="reference",
         **kwargs,
     ):
         """Mirrors the reference constructor signature (poisson.py:56-64),
@@ -175,6 +176,20 @@ class PoissonFactorization(BayesianModel):
         #: MXU path when fusion is active (TPU default; see the scatter
         #: note in unormalized_log_prob_parts), True/False force.
         self.sparse_dense_scatter = sparse_dense_scatter
+        #: fused-kernel clip mode: 'reference' reproduces the reference's
+        #: data-dependent log-likelihood clip bound; 'static' clips at the
+        #: kernel's constant FLOOR instead — identical losses on all
+        #: healthy data (the dynamic bound only binds in rescue scenarios,
+        #: docs/PARITY.md) and bit-identical gradients always, but the
+        #: kernel drops the global-min/clip-count tile reductions
+        #: (ops/fused_poisson._sum_static_grad_kernel; measured TPU step
+        #: win in docs/clip_mode_ab.json). Only consulted on the fused
+        #: path; the XLA fallback keeps reference semantics.
+        if likelihood_clip not in ("reference", "static"):
+            raise ValueError(
+                f"likelihood_clip must be 'reference' or 'static', got "
+                f"{likelihood_clip!r}")
+        self.likelihood_clip = likelihood_clip
         self._fused_interpret = False  # True: run the Pallas kernel interpreted (CPU)
         self.fusion_inactive_reason = None
         self._fusion_warned = False
@@ -904,14 +919,15 @@ class PoissonFactorization(BayesianModel):
 
         kind = self._fused_kind()
         codes = self._fused_codes()
+        clip = getattr(self, "likelihood_clip", "reference")
         if self.mesh is None:
             return fused_poisson_loglik(
                 theta, B, phi, x, self.eta_i, self.log_transform,
-                self._fused_interpret, kind, codes,
+                self._fused_interpret, kind, codes, clip,
             )
         return fused_poisson_loglik_sharded(
             theta, B, phi, x, self.eta_i, self.mesh, self.log_transform,
-            self._fused_interpret, likelihood=kind, codes=codes,
+            self._fused_interpret, likelihood=kind, codes=codes, clip=clip,
         )
 
     def _can_fuse(self, batch_shape=None, record=True):
@@ -1075,5 +1091,7 @@ class PoissonFactorization(BayesianModel):
             "log_transform": bool(self.log_transform),
             "horseshoe_plus": bool(self.horseshoe_plus),
             "count_key": self.count_key,
+            "likelihood_clip": getattr(self, "likelihood_clip",
+                                       "reference"),
         }
 

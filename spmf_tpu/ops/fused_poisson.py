@@ -384,6 +384,139 @@ def _stats_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref, codes_ref,
             dphi_ref[s] += dph_s
 
 
+def _sum_static_grad_kernel(theta_ref, v_ref, phi_ref, x_ref, eta_ref,
+                            codes_ref, sum_ref,
+                            dtheta_p_ref, dv_ref, dphi_ref,
+                            *, B, D, S, log_transform, likelihood):
+    """The static-clip variant of ``_stats_grad_kernel``: the clip bound
+    is the STATIC ``FLOOR`` instead of the data-dependent
+    ``min(finite ll) - 10``, so the per-(tile, sample) global-min and
+    clip-count reductions (and their mask arithmetic) disappear — the
+    clipped-cell contribution ``FLOOR`` folds directly into the sum.
+    Identical to the reference mode on every batch whose finite lls stay
+    above FLOOR = -1e27 (all healthy data: the dynamic bound only ever
+    binds in rescue scenarios, docs/PARITY.md), and the GRADIENTS are
+    bit-identical by construction (both modes' active set is the static
+    ``{finite, ll > FLOOR, ll < 0}``). Kernel cost: 2 of the 4 tile
+    reductions and ~4 VPU ops/cell-sample removed (docs/ROOFLINE.md
+    arithmetic)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    K = theta_ref.shape[-1]
+    x, eta, codes = x_ref[:], eta_ref[:], codes_ref[:]
+    lgx = _lgamma_xp1(x) if _needs_lgamma(likelihood) else 0.0
+    in_bounds, row_ok, col_ok = _masks(i, j, B, D, K)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_sums():
+        for s in range(S):
+            sum_ref[s] = jnp.float32(0.0)
+
+    for s in range(S):
+        theta_s = jnp.where(row_ok, theta_ref[s], 0.0)
+        v_s = jnp.where(col_ok, v_ref[s], 0.0)
+        ll, dtv, drate = _tile_ll_grads(theta_s, v_s, phi_ref, x, eta, lgx,
+                                        s, in_bounds, log_transform,
+                                        likelihood, codes)
+        keep = jnp.isfinite(ll) & (ll > jnp.float32(FLOOR))
+        sum_ref[s] = sum_ref[s] + jnp.sum(
+            jnp.where(
+                in_bounds,
+                jnp.where(keep, jnp.minimum(ll, 0.0), jnp.float32(FLOOR)),
+                0.0,
+            )
+        )
+
+        dtheta_p_ref[0, s] = jnp.dot(dtv, v_s.T,
+                                     preferred_element_type=jnp.float32)
+        dv_s = jnp.dot(theta_s.T, dtv, preferred_element_type=jnp.float32)
+        dph_s = jnp.sum(drate, axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init():
+            dv_ref[s] = dv_s
+            dphi_ref[s] = dph_s
+
+        @pl.when(i != 0)
+        def _accum():
+            dv_ref[s] += dv_s
+            dphi_ref[s] += dph_s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_sum_static(theta, v, phi, x, eta, codes, log_transform,
+                      interpret, likelihood="poisson"):
+    """Per-sample sums of ``clip(ll, FLOOR, 0)`` (non-finite -> FLOOR):
+    the static-clip 'x' energy part, shape (S,) f32. Same speculative
+    unit-cotangent gradients and scalar-rescale backward as
+    ``_fused_stats`` (the two modes' gradients are identical — see
+    ``_sum_static_grad_kernel``)."""
+    out, _ = _sum_static_fwd(theta, v, phi, x, eta, codes, log_transform,
+                             interpret, likelihood)
+    return out
+
+
+def _sum_static_fwd(theta, v, phi, x, eta, codes, log_transform, interpret,
+                    likelihood="poisson"):
+    S, B, K = theta.shape
+    D = x.shape[-1]
+    nb, nd = pl.cdiv(B, TB), pl.cdiv(D, TD)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ssum, dtheta_p, dv, dphi = pl.pallas_call(
+        functools.partial(_sum_static_grad_kernel, B=B, D=D, S=S,
+                          log_transform=log_transform,
+                          likelihood=likelihood),
+        grid=(nd, nb),  # rows inner: dv/dphi blocks resident per col tile
+        in_specs=[
+            pl.BlockSpec((S, TB, K), lambda j, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, TD), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, TD), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TD), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TD), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            smem,
+            pl.BlockSpec((1, S, TB, K), lambda j, i: (j, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, K, TD), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1, TD), lambda j, i: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S,), jnp.float32),
+            jax.ShapeDtypeStruct((nd, S, nb * TB, K), jnp.float32),
+            jax.ShapeDtypeStruct((S, K, nd * TD), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, nd * TD), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * S * B * K * D,
+            bytes_accessed=(nd * S * B * K + S * B * K + 2 * S * K * D
+                            + B * D) * 4,
+            transcendentals=2 * S * B * D,
+        ),
+    )(theta, v, phi, x, eta, codes)
+    dtheta = jnp.sum(dtheta_p, axis=0)[:, :B, :]
+    return ssum, (dtheta, dv[..., :D], dphi[..., :D])
+
+
+def _sum_static_bwd(log_transform, interpret, likelihood, res, g):
+    dtheta_u, dv_u, dphi_u = res
+    g = jnp.asarray(g, jnp.float32)[:, None, None]  # (S,1,1)
+    return dtheta_u * g, dv_u * g, dphi_u * g, None, None, None
+
+
+_fused_sum_static.defvjp(_sum_static_fwd, _sum_static_bwd)
+
+
 def _data_specs(S, K):
     return [
         pl.BlockSpec((S, TB, K), lambda i, j: (0, i, 0),
@@ -514,7 +647,8 @@ def _prep(theta, v, phi, x, eta, codes=None):
 
 
 def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
-                         interpret=False, likelihood="poisson", codes=None):
+                         interpret=False, likelihood="poisson", codes=None,
+                         clip="reference"):
     """Per-sample clipped log-likelihood sums, shape (S,).
 
     Args: theta (S,B,K), v (S,K,D), phi (S,1,D), x (B,D), eta (1,D) or
@@ -524,9 +658,23 @@ def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
     ``('mixed', s)`` with a (1, D) per-column ``codes`` lane
     (CODE_POISSON/CODE_BERNOULLI/CODE_NORMAL). Single-device path; for
     mesh execution use ``fused_poisson_loglik_sharded``.
-    """
+
+    ``clip='reference'`` (default) reproduces the reference's
+    data-dependent bound ``m = min(finite ll) - 10``; ``clip='static'``
+    clips at the constant ``FLOOR`` instead — identical values on every
+    batch whose finite lls stay above FLOOR = -1e27 (all healthy data;
+    the dynamic bound only binds in rescue scenarios) and bit-identical
+    gradients ALWAYS (both modes share the static active set), but the
+    kernel drops the global-min/clip-count reductions
+    (_sum_static_grad_kernel; measured step win in docs/ROOFLINE.md's
+    follow-up A/B)."""
     _check_likelihood(likelihood, codes)
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
+    if clip == "static":
+        return _fused_sum_static(theta, v, phi, x, eta, codes,
+                                 log_transform, interpret, likelihood)
+    if clip != "reference":
+        raise ValueError(f"unknown clip mode {clip!r}")
     ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, codes,
                                    log_transform, interpret, likelihood)
     # the clip bound is a constant to the backward (module docstring); the
@@ -539,12 +687,15 @@ def fused_poisson_loglik(theta, v, phi, x, eta, log_transform=False,
 def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
                                  log_transform=False, interpret=False,
                                  data_axis="dp", feature_axis="fp",
-                                 likelihood="poisson", codes=None):
+                                 likelihood="poisson", codes=None,
+                                 clip="reference"):
     """Mesh-composed fused likelihood: ONE per-shard Pallas stats pass,
     then ``lax.pmin``/``lax.psum`` on the three scalar outputs and a scalar
     combine — the exact global-clip semantics of the single-device kernel,
     scaled over dp x fp (VERDICT r1 #2; reference data-dependent clip:
-    poisson.py:606-619).
+    poisson.py:606-619). With ``clip='static'`` (see
+    ``fused_poisson_loglik``) the per-shard kernel emits only the sums and
+    the combine is a single ``psum`` — one collective instead of three.
 
     Rows of theta/x shard over ``data_axis``; feature columns of
     v/phi/x/eta (and the mixed ``codes`` lane) over ``feature_axis``
@@ -553,6 +704,8 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     from jax.sharding import PartitionSpec as P
 
     _check_likelihood(likelihood, codes)
+    if clip not in ("reference", "static"):
+        raise ValueError(f"unknown clip mode {clip!r}")
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
     dp = data_axis if data_axis in mesh.axis_names and mesh.shape[data_axis] > 1 else None
     fp = (feature_axis
@@ -561,9 +714,13 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     axes = tuple(a for a in (dp, fp) if a is not None)
     if not axes:
         return fused_poisson_loglik(theta, v, phi, x, eta, log_transform,
-                                    interpret, likelihood, codes)
+                                    interpret, likelihood, codes, clip)
 
     def body(theta, v, phi, x, eta, codes):
+        if clip == "static":
+            ssum = _fused_sum_static(theta, v, phi, x, eta, codes,
+                                     log_transform, interpret, likelihood)
+            return jax.lax.psum(ssum, axes)
         ssum, cnt, gmin = _fused_stats(theta, v, phi, x, eta, codes,
                                        log_transform, interpret, likelihood)
         sg = jax.lax.stop_gradient

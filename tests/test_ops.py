@@ -354,3 +354,74 @@ def test_fused_mixed_likelihood_requires_codes():
     with pytest.raises(ValueError, match="codes"):
         fused_poisson_loglik(theta, v, phi, x, eta, False, True,
                              likelihood=("mixed", 1.0), codes=None)
+
+
+def test_static_clip_matches_reference_on_healthy_data():
+    """clip='static' (r4): identical clipped sums on in-range data (the
+    dynamic bound is a rescue-mode no-op there) and BIT-identical
+    gradients always (both modes share the static active set)."""
+    from spmf_tpu.ops import fused_poisson_loglik
+
+    rng = np.random.default_rng(3)
+    S, B, K, D = 3, 16, 4, 24
+    theta = jnp.asarray(rng.gamma(1.0, 1.0, (S, B, K)).astype(np.float32))
+    v = jnp.asarray(rng.gamma(1.0, 1.0, (S, K, D)).astype(np.float32))
+    phi = jnp.asarray(rng.gamma(1.0, 0.1, (S, 1, D)).astype(np.float32))
+    x = rng.poisson(1.0, (B, D)).astype(np.float32)
+
+    def run(mode):
+        val = fused_poisson_loglik(theta, v, phi, x, 1.0, False, True,
+                                   clip=mode)
+        grads = jax.grad(
+            lambda t, vv, p: jnp.sum(
+                fused_poisson_loglik(t, vv, p, x, 1.0, False, True,
+                                     clip=mode)),
+            argnums=(0, 1, 2),
+        )(theta, v, phi)
+        return np.asarray(val), grads
+
+    v_ref, g_ref = run("reference")
+    v_st, g_st = run("static")
+    np.testing.assert_allclose(v_st, v_ref, rtol=1e-6)
+    for a, b in zip(g_st, g_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="clip"):
+        fused_poisson_loglik(theta, v, phi, x, 1.0, False, True,
+                             clip="bogus")
+
+
+def test_static_clip_model_energy_matches_reference_mode():
+    """The model-level routing: likelihood_clip='static' trains the same
+    energy as the default on healthy data, and rejects unknown modes."""
+    from spmf_tpu import PoissonFactorization
+
+    rng = np.random.default_rng(4)
+    B, D, P = 12, 16, 3
+    X = rng.poisson(1.0, (B, D)).astype(float)
+
+    def build(mode):
+        m = PoissonFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, fused_likelihood=True,
+            likelihood_clip=mode,
+        )
+        m._fused_interpret = True
+        return m
+
+    ref = build("reference")
+    st = build("static")
+    batch = {"counts": X, "indices": np.arange(B)}
+    key = jax.random.PRNGKey(0)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (2,))
+    lp_ref = np.asarray(ref.unormalized_log_prob(data=batch, **samples))
+    lp_st = np.asarray(st.unormalized_log_prob(data=batch, **samples))
+    np.testing.assert_allclose(lp_st, lp_ref, rtol=1e-10)
+    assert st._config()["likelihood_clip"] == "static"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="likelihood_clip"):
+        PoissonFactorization(latent_dim=P, feature_dim=D,
+                             dtype="float64", likelihood_clip="bogus")

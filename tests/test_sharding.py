@@ -710,3 +710,28 @@ def test_epoch_scan_mesh_composes_with_fused_kernel():
                    verbose=False, rel_tol=None)
     assert m.last_fit.extras["epoch_scan"] is True
     assert np.isfinite(losses).all()
+
+
+def test_static_clip_composes_with_mesh():
+    """clip='static' under a dp x fp mesh: the single-psum combine must
+    match the reference-mode sharded combine on healthy data."""
+    mesh = make_mesh((4, 2), ("dp", "fp"))
+
+    def build(mode):
+        m = PoissonFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, mesh=mesh, fused_likelihood=True,
+            likelihood_clip=mode,
+        )
+        m._fused_interpret = True
+        return m
+
+    ref = build("reference")
+    st = build("static")
+    batch = {"counts": jnp.asarray(X), "indices": jnp.arange(B)}
+    key = jax.random.PRNGKey(2)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,))
+    px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
+    sx = np.asarray(st.unormalized_log_prob_parts(batch, **samples)["x"])
+    np.testing.assert_allclose(sx, px, rtol=1e-6)
