@@ -1,27 +1,44 @@
 #!/usr/bin/env python3
-"""Minimal standalone repro of the XLA:TPU sample-dim miscompilation.
+"""Repro of the XLA:TPU sample-dim miscompilation (r4).
 
-Observed (r4, this image's jax/libtpu via the axon remote backend): with
+Observed (this image's jax/libtpu via the axon remote backend): with
 sample dim S=10 — and ONLY 10 of S in {1..7, 9, 10, 12, 16, 20} — the
-jitted graph below computes a batched matmul of NON-NEGATIVE operands
-whose output contains large NEGATIVE values (mathematically impossible),
-at B=4096, D=20000, K=32. In spmf_tpu this poisoned WAIC's per-row
-log-likelihoods (vi/waic.py docstring; defaults moved off chunk=10).
+jitted sample-then-encode graph below computes a broadcast-batched
+matmul of NON-NEGATIVE operands whose output contains large NEGATIVE
+values (mathematically impossible), for every batch size probed
+(B = 512..8192) at D=20000, K=32. In spmf_tpu this poisoned WAIC's
+per-row log-likelihoods (vi/waic.py docstring; defaults moved off
+chunk=10).
 
-Pure jax — no spmf_tpu imports — so it can be reported upstream as-is.
-The graph mirrors the model's encode: sampled softplus-normals -> a
-column-normalized weighting -> broadcast-batched matmul -> row scaling.
-Run: python tools/xla_s10_repro.py [-S 10] [-B 4096] [-D 20000] [-K 32]
+MINIMIZATION STATUS: a pure-jax reduction (softplus-normal draws ->
+column-normalized weighting -> batched matmul -> row scaling, i.e. the
+encode subgraph alone) does NOT trigger the bug — S=10 and S=8 both
+compute correctly there. The trigger needs the fuller jitted graph: the
+model's SurrogatePosterior.sample (14 variables: normals + pathwise
+gamma/inverse-gamma auxiliaries) fused with the encode. This script
+therefore reproduces via the in-repo model — run it on the TPU backend:
+
+    python tools/xla_s10_repro.py            # S=10 -> exit 1 (CORRUPT)
+    python tools/xla_s10_repro.py -S 8       # clean -> exit 0
+
+The eager (non-jit) evaluation of the identical computation is correct;
+only the jitted fusion at S=10 corrupts. The Pallas kernels are not
+involved (gamma_sampler='fast' is pure XLA).
 """
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-S", type=int, default=10)
-    ap.add_argument("-B", type=int, default=4096)
+    ap.add_argument("-B", type=int, default=1024)
     ap.add_argument("-D", type=int, default=20000)
     ap.add_argument("-K", type=int, default=32)
     args = ap.parse_args()
@@ -31,30 +48,30 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/spmf_tpu_jax_cache")
+    from spmf_tpu import PoissonFactorization
+
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.poisson(1.0, size=(B, D)).astype(np.float32))
+    m = PoissonFactorization(
+        latent_dim=K, feature_dim=D, u_tau_scale=1e-3, dtype="float32",
+        scale_columns=False, gamma_sampler="fast",  # pure XLA, no Pallas
+    )
 
     @jax.jit
     def probe(key, x):
-        ku, ks = jax.random.split(key)
-        # softplus'd normal draws: strictly positive
-        u = jax.nn.softplus(-6.0 + 5e-4 * jax.random.normal(ku, (S, D, K)))
-        s = jax.nn.softplus(
-            jnp.asarray([[-2.0], [-1.0]])
-            + 1e-3 * jax.random.normal(ks, (S, 2, D))
-        )
-        w = s / jnp.sum(s, axis=-2, keepdims=True)   # (S, 2, D), in (0,1)
-        A = w[..., 0, :, None] * u                   # (S, D, K), positive
-        z = jnp.matmul(x, A)                         # non-neg @ positive
-        z = z * jnp.sum(x, -1, keepdims=True)        # non-negative scaling
-        return jnp.min(z), jnp.max(z), jnp.sum(~jnp.isfinite(z))
+        s = m._surrogate.sample(m.surrogate_params, key, (S,))
+        theta = m.encode(x, s["u"], s["s"])  # non-neg @ positive, scaled
+        return (jnp.min(theta), jnp.max(theta),
+                jnp.sum(~jnp.isfinite(theta)),
+                jnp.min(s["u"]), jnp.min(s["s"]))
 
-    mn, mx, nf = probe(jax.random.PRNGKey(1), x)
-    mn, mx, nf = float(mn), float(mx), int(nf)
-    verdict = "CORRUPT (negative output from non-negative operands)" \
-        if mn < 0 or nf else "ok"
-    print(f"S={S} B={B} D={D} K={K}: min {mn:.6g} max {mx:.6g} "
-          f"nonfinite {nf} -> {verdict}")
+    mn, mx, nf, umin, smin = (float(v) for v in probe(jax.random.PRNGKey(1),
+                                                      x))
+    verdict = ("CORRUPT (negative encode output from non-negative "
+               "operands)") if mn < 0 or nf else "ok"
+    print(f"S={S} B={B} D={D} K={K}: theta min {mn:.6g} max {mx:.6g} "
+          f"nonfinite {int(nf)}; operand mins u={umin:.4g} s={smin:.4g} "
+          f"-> {verdict}")
     return 1 if (mn < 0 or nf) else 0
 
 
