@@ -55,7 +55,8 @@ def build_step(model, optimizer, batch_rows, sample_size=S,
 
 def build_state(batch: int = B, samples: int = S, antithetic: bool = False,
                 fused: bool = True, gamma_sampler: str = "fused",
-                remat: bool = False, X=None):
+                remat: bool = False, X=None,
+                likelihood_clip: str = "reference"):
     """Model + jitted donated step + live params for one bench arm."""
     import jax
     import jax.numpy as jnp
@@ -70,7 +71,7 @@ def build_state(batch: int = B, samples: int = S, antithetic: bool = False,
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
         dtype="float32", scale_columns=False, fused_likelihood=fused,
-        gamma_sampler=gamma_sampler,
+        gamma_sampler=gamma_sampler, likelihood_clip=likelihood_clip,
     )
     model._bench_remat = remat
     optimizer = optax.chain(optax.clip(5.0), optax.adam(0.01))
@@ -247,7 +248,12 @@ def main():
 
         X = jnp.asarray(
             rng.poisson(1.0, size=(best_batch, D)).astype(np.float32))
-        anti = build_state(batch=best_batch, samples=4, antithetic=True, X=X)
+        # The headline arm also takes likelihood_clip='static' — gradients
+        # BIT-identical to the reference-clip default, losses identical on
+        # every healthy batch, measured 1.073x interleaved
+        # (docs/clip_mode_ab.json); labeled in the unit string.
+        anti = build_state(batch=best_batch, samples=4, antithetic=True,
+                           likelihood_clip="static", X=X)
         ctrl = build_state(batch=best_batch, samples=S, antithetic=False, X=X)
         run_interleaved([anti, ctrl])
         tpu_rows = anti["median"]
@@ -258,7 +264,7 @@ def main():
             "unit": f"rows/sec (batch={best_batch}, samples={S} "
                     "independent — the fit() default estimator)",
         }
-        path, best_samples = "pallas-fused-ig-anti", 4
+        path, best_samples = "pallas-fused-ig-anti-staticclip", 4
     except Exception as e:  # pragma: no cover - kernel fallback (CPU etc.)
         print(f"# interleaved fused arms unavailable: {type(e).__name__}: "
               f"{e}", file=sys.stderr)
