@@ -44,6 +44,23 @@ CONFIGS = {
                          remat=False, antithetic=True, samples=4),
     "fused-ig-s4": dict(fused_likelihood=True, gamma_sampler="fused",
                         remat=False, samples=4),
+    # hardware-PRNG arms: same estimator as anti-s4 but the step key is
+    # re-wrapped as an rbg/unsafe_rbg typed key, so every in-step draw
+    # (the flattened normal, the IG kernel seed) uses the TPU hardware RNG
+    # instead of threefry (benchmarks/prng_probe.py isolates the raw
+    # bit-generation delta; this measures it in the real step)
+    "anti-s4-rbg": dict(fused_likelihood=True, gamma_sampler="fused",
+                        remat=False, antithetic=True, samples=4,
+                        prng_impl="rbg"),
+    "anti-s4-urbg": dict(fused_likelihood=True, gamma_sampler="fused",
+                         remat=False, antithetic=True, samples=4,
+                         prng_impl="unsafe_rbg"),
+    "anti-s4-static": dict(fused_likelihood=True, gamma_sampler="fused",
+                           remat=False, antithetic=True, samples=4,
+                           likelihood_clip="static"),
+    "anti-s4-static-rbg": dict(fused_likelihood=True, gamma_sampler="fused",
+                               remat=False, antithetic=True, samples=4,
+                               likelihood_clip="static", prng_impl="rbg"),
 }
 
 
@@ -58,6 +75,7 @@ def build(name, cfg, X):
     fused_normals = cfg.pop("fused_normals", True)
     antithetic = cfg.pop("antithetic", False)
     s_cfg = cfg.pop("samples", S)
+    prng_impl = cfg.pop("prng_impl", None)
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
         dtype="float32", scale_columns=False, **cfg,
@@ -74,6 +92,12 @@ def build(name, cfg, X):
 
     @jax.jit
     def step(p, o, key, x):
+        if prng_impl is not None:
+            # the harness hands a raw threefry PRNGKey; re-wrap its data as
+            # a typed hardware-RNG key so every downstream draw uses it
+            key = jax.random.wrap_key_data(
+                jnp.concatenate([key, key]), impl=prng_impl)
+
         def f(p_):
             s, lq = draw(p_, key)
             lp = model.unormalized_log_prob(data={"counts": x}, **s)
