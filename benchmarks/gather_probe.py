@@ -63,12 +63,12 @@ def main():
         "take_vT_sorted": (
             _t(lambda c: jnp.sum(
                 jnp.take(vT, c, axis=0, indices_are_sorted=True,
-                         mode="promise_in_bounds"), axis=0)),
+                         mode="clip"), axis=0)),
             (cols_sd,)),
         "take_theta": (
             _t(lambda r: jnp.sum(
                 jnp.take(theta, r, axis=0, indices_are_sorted=True,
-                         mode="promise_in_bounds"), axis=0)),
+                         mode="clip"), axis=0)),
             (rows_d,)),
         "segsum": (
             _t(lambda v, r: jax.ops.segment_sum(
@@ -78,10 +78,10 @@ def main():
 
     def nzterm(r, c, v):
         th = jnp.take(theta, r, axis=0, indices_are_sorted=True,
-                      mode="promise_in_bounds")              # (nnz, K)
-        vc = jnp.take(vT, c, axis=0, mode="promise_in_bounds")  # (nnz, K)
+                      mode="clip")              # (nnz, K)
+        vc = jnp.take(vT, c, axis=0, mode="clip")  # (nnz, K)
         rate = jnp.sum(th * vc, axis=-1) + jnp.take(
-            phi, c, mode="promise_in_bounds")
+            phi, c, mode="clip")
         ll = v * jnp.log(jnp.maximum(rate, 1e-30))
         return jax.ops.segment_sum(ll, r, num_segments=B,
                                    indices_are_sorted=True)
