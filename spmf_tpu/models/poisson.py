@@ -706,19 +706,33 @@ class PoissonFactorization(BayesianModel):
             )[:, None]
 
         # nonzero term: sum_nz [x log(rate) - lgamma(x+1)]; zero padding is
-        # an exact no-op (x=0 -> both pieces vanish; rate floored positive)
-        theta_r = jnp.take(theta, rows, axis=-2)             # (..., nnz, K)
-        v_c = jnp.take(v, cols, axis=-1)                     # (..., K, nnz)
-        tv = jnp.einsum("...nk,...kn->...n", theta_r, v_c)
-        phi_c = jnp.take(phi[..., 0, :], cols, axis=-1)
+        # an exact no-op (x=0 -> both pieces vanish; rate floored positive).
+        # Sample dims flatten INTO the gather width — (nnz, S, K) results
+        # pad 16->128 lanes under TPU tiling (8x bytes, measured 6.4x
+        # slower end-to-end; docs/gather_probe.json) — so gather from
+        # (B, L*K) / (D, L*K) tables instead.
+        K = theta.shape[-1]
+        lead = theta.shape[:-2]
+        L = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        D = v.shape[-1]
+        th_flat = jnp.moveaxis(
+            theta.reshape((L, B, K)), 0, 1).reshape(B, L * K)
+        v_flat = jnp.transpose(
+            v.reshape((L, K, D)), (2, 0, 1)).reshape(D, L * K)
+        phi_flat = jnp.transpose(phi.reshape((L, D)))        # (D, L)
+        theta_r = jnp.take(th_flat, rows, axis=0, mode="clip")
+        v_c = jnp.take(v_flat, cols, axis=0, mode="clip")    # (nnz, L*K)
+        tv = (theta_r * v_c).reshape(-1, L, K).sum(-1)       # (nnz, L)
+        phi_c = jnp.take(phi_flat, cols, axis=0, mode="clip")
         if self.log_transform:
-            rate_nz = jnp.exp(tv * eta[cols]) - 1.0 + phi_c
+            rate_nz = jnp.exp(tv * eta[cols][:, None]) - 1.0 + phi_c
         else:
-            rate_nz = tv * eta[cols] + phi_c
+            rate_nz = tv * eta[cols][:, None] + phi_c
         rate_nz = jnp.maximum(rate_nz, jnp.finfo(self.dtype).tiny)
-        nz_term = jnp.sum(
-            vals * jnp.log(rate_nz) - gammaln(vals + 1.0), axis=-1
-        )
+        nz_term = (
+            jnp.sum(vals[:, None] * jnp.log(rate_nz), axis=0)
+            - jnp.sum(gammaln(vals + 1.0))
+        ).reshape(lead)
         if psum_axis is not None:
             nz_term = jax.lax.psum(nz_term, psum_axis)
         return theta, nz_term
