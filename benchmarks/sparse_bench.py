@@ -5,25 +5,28 @@ acceptance; r2 #1 / r3 performance work). Full dense storage would be
 
 Configurations measured (one process; the tunnel's ambient drift makes
 cross-process comparisons untrustworthy — CLAUDE.md):
-  host-coo-gather-energy   the r2 energy: gather-dot/segment-sum over the
-                           COO triplets (sparse_dense_scatter=False).
-                           Measured GATHER-bound on TPU: ~3.2 s/epoch flat
-                           regardless of batch size, and identical with
-                           prefetch on or off (r3 sweep: sync 3.19 /
-                           prefetch 3.18 s at B=2048; see git history of
-                           docs/sparse_bench.json) — per-nnz takes and
-                           segment-sums run on the VPU.
+  host-coo-gather-*        the COO gather-dot energy
+                           (sparse_dense_scatter=False). The r2 version was
+                           gather-bound at ~3.2 s/epoch (its batched
+                           per-sample gathers materialize (nnz, S, K),
+                           which TPU tiling pads 16->128 lanes = 8x bytes);
+                           the r4 flat-gather rewrite folds samples into
+                           the gather width (docs/gather_probe.json) and
+                           is 3-4x faster — at this 0.1% density it now
+                           BEATS the dense-scatter path while never
+                           materializing the (B, D) slab.
   host-scatter-dense-b*    the r3 default TPU path: each COO batch is
                            scattered into a transient dense (B, D) slab on
                            device and fed to the fused MXU kernel (epoch
                            cost ~ N x D cells through the MXU, constant in
-                           batch size).
+                           batch size). Still the default: it wins above
+                           the ~0.3% density crossover (benchmarks/
+                           sparse_ab.py interleaved A/B).
   device-scatter-dense     DeviceSparseCounts (HBM CSR + jitted on-device
                            COO assembly) feeding the same scatter path —
                            measures slower: the searchsorted run decode is
                            itself gather-bound.
-Writes docs/sparse_bench.json; the headline value is the best (the
-production default path).
+Writes docs/sparse_bench.json; the headline value is the best arm.
 """
 import json
 import os
@@ -84,11 +87,14 @@ def fresh_host(bs=B):
 
 
 configs = {}
-# the r2 gather-dot COO energy (gather-bound on TPU: per-nnz takes and
-# segment-sums run on the VPU — measured flat ~3.2 s/epoch regardless of
-# batch size or prefetch)
+# the COO gather-dot energy. r2 version was gather-bound at ~3.2 s/epoch
+# (batched per-sample gathers pad (nnz, S, K) 8x under TPU tiling); the
+# r4 flat-gather rewrite folds samples into the gather width
+# (docs/gather_probe.json) — re-measured here at two batch sizes
 configs["host_coo_gather_energy"] = run(
     "host-coo-gather-energy", fresh_host(), 2, B, scatter=False)
+configs["host_coo_gather_b8192"] = run(
+    "host-coo-gather-b8192", fresh_host(8192), 2, 8192, scatter=False)
 # the r3 TPU path (default): scatter the COO batch into a dense slab on
 # device, run the fused MXU-dense kernel — dense FLOPs beat gathers below
 # ~1% density; larger batches amortize the batch-independent D-scale

@@ -618,17 +618,17 @@ class PoissonFactorization(BayesianModel):
         prior_parts = {k: v * prior_weight for k, v in prior_parts.items()}
 
         if isinstance(data, dict) and "coo_vals" in data:
-            # TPU-native sparse: scatter the COO triplets into a dense
-            # (B, D) slab ON DEVICE and take the fused MXU-dense path.
-            # Measured (docs/sparse_bench.json r3): the gather-dot/
-            # segment-sum COO energy is gather-bound on TPU (~1.6M
-            # nnz/sec regardless of batch size — per-nnz gathers run
-            # on the VPU), while the dense kernel streams B x D cells
-            # through the MXU at ~6e9 cells/sec; below ~1% density
-            # the "wasted" dense FLOPs are far cheaper than gathers.
-            # Storage stays sparse (host CSR / HBM triplets); only
-            # the transient batch slab is dense.
-            if self._sparse_dense_scatter(data["indices"].shape[0]):
+            # TPU-native sparse: two energies, chosen per batch shape.
+            # Dense-scatter: scatter the COO triplets into a transient
+            # dense (B, D) slab ON DEVICE and take the fused MXU-dense
+            # path — dense FLOPs beat gathers at ordinary scRNA
+            # densities. Flat-gather COO energy: below the measured
+            # ~0.17% density crossover (benchmarks/sparse_ab.py
+            # interleaved A/B, docs/gather_probe.json) the per-nnz
+            # gather-dot energy wins AND never materializes the slab.
+            # Storage stays sparse (host CSR / HBM triplets) either way.
+            if self._sparse_dense_scatter(data["indices"].shape[0],
+                                          data["coo_rows"].shape[-1]):
                 data = self._densify_coo(data, enforce_slab_limit=False)
             elif self._coo_energy_supported() and self._coo_energy_mesh_ok():
                 # intended sparse path — record the dispatch (observable
@@ -743,16 +743,25 @@ class PoissonFactorization(BayesianModel):
     #: alongside the model (v5e: 16 GB)
     _DENSE_SCATTER_MAX_SLAB_BYTES = 4 << 30
 
-    def _sparse_dense_scatter(self, batch_rows=None):
+    #: auto-mode density bound for the flat-gather COO energy: below this
+    #: (padded nnz / (B*D), a static upper bound on batch density) the
+    #: gather energy beats the dense slab — interleaved A/B at B=8192,
+    #: D=50k measured the crossover at ~0.17% (coo 65.8 vs dense 86.5
+    #: ms/step at 0.1%; dense wins 1.5x at 0.3%, 3.3x at 1% —
+    #: benchmarks/sparse_ab.py); 0.15% keeps a safety margin
+    _COO_ENERGY_MAX_DENSITY = 0.0015
+
+    def _sparse_dense_scatter(self, batch_rows=None, pad_nnz=None):
         """Whether COO batches take the dense-scatter + fused-MXU path
         (see unormalized_log_prob_parts). 'auto'/None: yes when the fused
         kernel is active for the densified (B, D) batch shape (TPU; the
         shape matters — a non-mesh-divisible B would densify into the
         unfused XLA fallback, which materializes the (S, B, D) rate tensor
         the COO energy exists to avoid) AND the transient slab stays under
-        _DENSE_SCATTER_MAX_SLAB_BYTES; the gather-dot COO energy stays the
-        CPU/XLA-fallback and very-wide-D (slab-doesn't-fit) path,
-        forceable with sparse_dense_scatter=True/False."""
+        _DENSE_SCATTER_MAX_SLAB_BYTES AND the batch isn't so sparse that
+        the flat-gather COO energy wins outright
+        (_COO_ENERGY_MAX_DENSITY); forceable with
+        sparse_dense_scatter=True/False."""
         mode = self.sparse_dense_scatter
         if mode in (None, "auto"):
             shape = None
@@ -762,6 +771,12 @@ class PoissonFactorization(BayesianModel):
                 if slab > self._DENSE_SCATTER_MAX_SLAB_BYTES:
                     return False
                 shape = (int(batch_rows), int(self.feature_dim))
+                if (pad_nnz is not None
+                        and int(pad_nnz) < self._COO_ENERGY_MAX_DENSITY
+                        * shape[0] * shape[1]
+                        and self._coo_energy_supported()
+                        and self._coo_energy_mesh_ok()):
+                    return False
             # record=False: a rejection here routes to the COO gather
             # energy (the designed sparse path), NOT the XLA fallback —
             # warning '~3x slower' from this probe would be false, and the

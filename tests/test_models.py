@@ -645,6 +645,45 @@ def test_coo_gather_dispatch_does_not_false_warn():
     assert "COO gather energy" in m.fusion_inactive_reason
 
 
+def test_coo_auto_dispatch_is_density_aware():
+    """Auto mode routes ultra-sparse batches (padded nnz / (B*D) below
+    _COO_ENERGY_MAX_DENSITY) to the flat-gather COO energy even when the
+    dense slab would fit — the measured crossover is ~0.17% density
+    (benchmarks/sparse_ab.py interleaved A/B; docs/gather_probe.json) —
+    while ordinary scRNA densities keep the dense-scatter fused path."""
+    from spmf_tpu.data import SparseCounts
+
+    m = PoissonFactorization(latent_dim=2, feature_dim=7000,
+                             u_tau_scale=0.1, dtype="float64",
+                             scale_columns=False)
+    # decision surface: B=100 x D=7000 = 700k cells; bound = 1050 nnz
+    assert not m._sparse_dense_scatter(100, 1024)      # 0.146% -> COO
+    dense_decision = m._sparse_dense_scatter(100, 2048)  # 0.293% -> slab
+    # (on CPU the fused kernel gate may also decline; only the sparse
+    # branch of the rule is asserted unconditionally)
+    assert dense_decision == m._can_fuse((100, 7000), record=False)
+    # forcing wins over the density rule
+    m.sparse_dense_scatter = True
+    assert m._sparse_dense_scatter(100, 1024)
+
+    # end-to-end: an ultra-sparse batch dispatches the gather energy
+    rng = np.random.default_rng(1)
+    X = np.zeros((100, 7000))
+    X[rng.integers(0, 100, 500), rng.integers(0, 7000, 500)] = \
+        rng.poisson(2.0, 500) + 1.0
+    m2 = PoissonFactorization(latent_dim=2, feature_dim=7000,
+                              u_tau_scale=0.1, dtype="float64",
+                              scale_columns=False)
+    batch = next(iter(SparseCounts.from_dense(X).batch(100).as_coo()))
+    assert batch["coo_rows"].shape[-1] / (100 * 7000) \
+        < m2._COO_ENERGY_MAX_DENSITY
+    key = jax.random.PRNGKey(0)
+    samples = m2._surrogate.sample(m2.surrogate_params, key, (2,))
+    lp = m2.unormalized_log_prob(data=batch, **samples)
+    assert np.isfinite(np.asarray(lp)).all()
+    assert "COO gather energy" in m2.fusion_inactive_reason
+
+
 def test_log_likelihood_heldout_scoring():
     """model.log_likelihood: lppd-based predictive scoring (the BASELINE.md
     'held-out Poisson log-likelihood' metric). On bound data it equals
