@@ -681,12 +681,15 @@ class PoissonFactorization(BayesianModel):
         return prior_parts
 
     def _coo_encode_nz(self, rows, cols, vals, B, A, v, phi, eta,
-                       psum_axis=None):
+                       psum_axis=None, per_row=False):
         """Shared COO math: encode theta from (possibly dp-local) triplets
         and compute the nonzero likelihood term. With ``psum_axis`` the raw
         segment-sums, row sums, and nonzero sums are ``lax.psum``'d — the
         row scaling is applied AFTER the psum so each row's full triplet
-        set contributes regardless of shard assignment."""
+        set contributes regardless of shard assignment. With ``per_row``
+        the nonzero term keeps the row axis (lead + (B,), for the
+        streaming sparse WAIC/log_likelihood scorer) instead of summing
+        over rows."""
         from jax.scipy.special import gammaln
 
         from spmf_tpu.ops import sparse_encode_coo
@@ -729,10 +732,17 @@ class PoissonFactorization(BayesianModel):
         else:
             rate_nz = tv * eta[cols][:, None] + phi_c
         rate_nz = jnp.maximum(rate_nz, jnp.finfo(self.dtype).tiny)
-        nz_term = (
-            jnp.sum(vals[:, None] * jnp.log(rate_nz), axis=0)
-            - jnp.sum(gammaln(vals + 1.0))
-        ).reshape(lead)
+        if per_row:
+            nz_row = jax.ops.segment_sum(
+                vals[:, None] * jnp.log(rate_nz), rows, num_segments=B
+            ) - jax.ops.segment_sum(
+                gammaln(vals + 1.0), rows, num_segments=B)[:, None]
+            nz_term = jnp.moveaxis(nz_row, 0, -1).reshape(lead + (B,))
+        else:
+            nz_term = (
+                jnp.sum(vals[:, None] * jnp.log(rate_nz), axis=0)
+                - jnp.sum(gammaln(vals + 1.0))
+            ).reshape(lead)
         if psum_axis is not None:
             nz_term = jax.lax.psum(nz_term, psum_axis)
         return theta, nz_term
@@ -1060,11 +1070,71 @@ class PoissonFactorization(BayesianModel):
         """Positional-args wrapper (reference poisson.py:703-709)."""
         return self.unormalized_log_prob(**dict(zip(self.var_list, x)))
 
+    def _coo_row_log_likelihood(self, batch, samples):
+        """Streaming sparse scorer: per-row Poisson log-likelihood over COO
+        triplets without ever densifying the (B, D) slab. Identity decode
+        link only — the per-row rate total collapses to
+        theta_i . (v @ eta) + sum_j(phi_j), so each row's ll is
+        [nz gather term] - [closed-form rate total] exactly (the same
+        algebra as _coo_log_prob_parts, kept per-row). Like the COO
+        energy, the log-likelihood here is exact/finite by construction,
+        so the reference's data-dependent clip is a no-op (docs/PARITY.md).
+        Under a mesh the triplets shard over every >1 axis and the per-row
+        partials psum (rows stay global)."""
+        rows = batch["coo_rows"]
+        cols = batch["coo_cols"]
+        vals = jnp.asarray(batch["coo_vals"], self.dtype)
+        B = batch["indices"].shape[0]
+        A = self.encoding_matrix(samples["u"], samples["s"])
+        v = self.decoding_matrix(samples["v"])
+        phi = self.intercept_matrix(samples["w"], samples["s"])
+        D = v.shape[-1]
+        eta = jnp.broadcast_to(jnp.asarray(self.eta_i, self.dtype), (1, D))[0]
+
+        axes = ()
+        if self.mesh is not None:
+            axes = tuple(ax for ax in self.mesh.axis_names
+                         if self.mesh.shape[ax] > 1)
+        if not axes:
+            theta, nz_row = self._coo_encode_nz(
+                rows, cols, vals, B, A, v, phi, eta, per_row=True)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def body(rows, cols, vals, A, v, phi, eta):
+                return self._coo_encode_nz(
+                    rows, cols, vals, B, A, v, phi, eta,
+                    psum_axis=axes, per_row=True)
+
+            theta, nz_row = jax.shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(axes), P(axes), P(axes), P(), P(), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(rows, cols, vals, A, v, phi, eta)
+
+        v_eta = jnp.sum(v * eta, axis=-1)                    # (..., K)
+        row_rate = jnp.einsum("...bk,...k->...b", theta, v_eta) \
+            + jnp.sum(phi, axis=(-1, -2))[..., None]
+        return nz_row - row_rate                             # (..., B)
+
     def _row_log_likelihood(self, batch, samples):
         if isinstance(batch, dict) and "coo_vals" in batch:
-            # WAIC over sparse (COO) batches: densify the slab on device
-            # (same scatter as the training path) — per-row log-likelihoods
-            # need every cell's -rate term anyway
+            if (not self._sparse_dense_scatter(
+                    batch["indices"].shape[0],
+                    batch["coo_rows"].shape[-1])
+                    and not self.log_transform
+                    and self._coo_energy_supported()
+                    and self._coo_energy_mesh_ok()):
+                # ultra-sparse (or slab-over-ceiling) batches score via
+                # the flat-gather COO row scorer — previously these
+                # densified unconditionally, so wide-D data whose slab
+                # exceeded _DENSE_SCATTER_MAX_SLAB_BYTES could not be
+                # scored at all
+                return self._coo_row_log_likelihood(batch, samples)
+            # ordinary densities: densify the slab on device (same
+            # scatter as the training path) and stream the fused per-row
+            # kernel
             batch = self._densify_coo(batch)
         x_shape = np.shape(self._counts(batch))
         if self._can_fuse(x_shape, record=False):

@@ -388,7 +388,10 @@ def test_coo_dense_scatter_matches_dense_energy():
 
 def test_waic_over_coo_batches_matches_dense():
     """WAIC must accept sparse COO factories (the scRNA production data)
-    and agree exactly with the dense evaluation."""
+    and agree with the dense evaluation. On CPU the COO batches take the
+    flat-gather COO row scorer (r4) — an exact but differently-ordered
+    summation, so agreement is to f64 accumulation-order noise rather
+    than bitwise."""
     from spmf_tpu import PoissonFactorization
 
     dense = RNG.poisson(0.5, (60, 10)).astype(float)
@@ -399,7 +402,26 @@ def test_waic_over_coo_batches_matches_dense():
     dd = ArrayDataset({"counts": dense, "indices": np.arange(60)}).batch(30)
     w_dense = m.waic(dd, num_samples=6, sample_chunk=3)
     for k in w_dense:
-        np.testing.assert_allclose(w_coo[k], w_dense[k], rtol=1e-12)
+        np.testing.assert_allclose(w_coo[k], w_dense[k], rtol=1e-7)
+
+
+def test_waic_scores_coo_when_slab_exceeds_ceiling():
+    """Wide-D sparse data whose dense slab exceeds
+    _DENSE_SCATTER_MAX_SLAB_BYTES previously could not be scored at all
+    (the scorer densified unconditionally); the COO row scorer handles it
+    without materializing (B, D), and log_likelihood agrees with the
+    unrestricted evaluation."""
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.4, (40, 12)).astype(float)
+    sp = SparseCounts.from_dense(dense).batch(20, drop_remainder=True).as_coo()
+    m = PoissonFactorization(latent_dim=2, feature_dim=12, u_tau_scale=0.1,
+                             dtype="float64", data=sp)
+    ll_free = m.log_likelihood(sp, num_samples=4, sample_chunk=2)
+    m._DENSE_SCATTER_MAX_SLAB_BYTES = 0   # force the "slab can't fit" corner
+    ll_coo = m.log_likelihood(sp, num_samples=4, sample_chunk=2)
+    np.testing.assert_allclose(ll_coo["total"], ll_free["total"], rtol=1e-7)
+    assert ll_coo["n_rows"] == ll_free["n_rows"]
 
 
 def test_device_sparse_refuses_silent_remainder_drop():

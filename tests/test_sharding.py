@@ -691,6 +691,34 @@ def test_waic_streaming_kernel_composes_with_mesh():
                                rtol=2e-5, atol=1e-4)
 
 
+def test_coo_row_scorer_composes_with_mesh():
+    """The flat-gather COO row scorer (sparse WAIC/log_likelihood, r4)
+    under a dp x fp mesh: triplets shard over every >1 axis, per-row
+    partial sums psum — meshed waic() over COO batches must match the
+    unmeshed evaluation."""
+    from spmf_tpu.data import SparseCounts
+
+    rng = np.random.default_rng(11)
+    dense = (rng.random((B, D)) < 0.05) * rng.poisson(2.0, (B, D))
+
+    def build(mesh):
+        m = PoissonFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, mesh=mesh,
+        )
+        # force the COO scorer branch (not the densify fallback)
+        m._DENSE_SCATTER_MAX_SLAB_BYTES = 0
+        return m
+
+    sp = SparseCounts.from_dense(dense).batch(B, drop_remainder=True).as_coo()
+    ref = build(None).waic(data=sp, num_samples=4, sample_chunk=4)
+    meshed = build(make_mesh((4, 2), ("dp", "fp"))).waic(
+        data=sp, num_samples=4, sample_chunk=4)
+    for k in ("waic", "lppd", "pwaic", "se"):
+        np.testing.assert_allclose(meshed[k], ref[k], rtol=1e-7,
+                                   atol=1e-9, err_msg=k)
+
+
 def test_epoch_scan_mesh_composes_with_fused_kernel():
     """The production v5e combination: fused Pallas likelihood +
     dp x fp mesh + whole-epoch scan dispatch (shard_map inside lax.scan
