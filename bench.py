@@ -255,7 +255,15 @@ def main():
         anti = build_state(batch=best_batch, samples=4, antithetic=True,
                            likelihood_clip="static", X=X)
         ctrl = build_state(batch=best_batch, samples=S, antithetic=False, X=X)
-        run_interleaved([anti, ctrl])
+        # S=2 antithetic (single mirrored pair): 1.34x the S4 arm, and it
+        # reaches the reference optimum in the same epochs on the noise
+        # config (both seeds) — but its init-point gradient variance is
+        # 1.9x S8-independent (1.16x at convergence), so it is NOT
+        # "measured-equal estimator quality" like S4 and rides along as a
+        # labeled frontier arm, not the headline (docs/antithetic_s2.json)
+        s2 = build_state(batch=best_batch, samples=2, antithetic=True,
+                         likelihood_clip="static", X=X)
+        run_interleaved([anti, ctrl, s2])
         tpu_rows = anti["median"]
         span = [round(v, 1) for v in anti["span"]]
         control = {
@@ -264,12 +272,20 @@ def main():
             "unit": f"rows/sec (batch={best_batch}, samples={S} "
                     "independent — the fit() default estimator)",
         }
+        frontier = {
+            "rows_per_sec": round(s2["median"], 1),
+            "span": [round(v, 1) for v in s2["span"]],
+            "unit": f"rows/sec (batch={best_batch}, samples=2-antithetic "
+                    "static-clip — same epochs-to-parity on the reference "
+                    "config but 1.9x init grad variance vs S8-independent; "
+                    "docs/antithetic_s2.json)",
+        }
         path, best_samples = "pallas-fused-ig-anti-staticclip", 4
     except Exception as e:  # pragma: no cover - kernel fallback (CPU etc.)
         print(f"# interleaved fused arms unavailable: {type(e).__name__}: "
               f"{e}", file=sys.stderr)
         tpu_rows = measure(jax.default_backend(), ITERS)
-        span, control = None, None
+        span, control, frontier = None, None, None
         path, best_batch, best_samples = "xla", B, S
     try:
         baseline = get_cpu_baseline()
@@ -299,6 +315,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "span_rows_per_sec": span,
         "control_arm": control,
+        "frontier_arm": frontier,
         "elbo_steps_per_sec": round(tpu_rows / best_batch, 2),
         "epochs_to_parity": epochs_to_parity,
     }))

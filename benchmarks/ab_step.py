@@ -58,6 +58,11 @@ CONFIGS = {
     "anti-s4-static": dict(fused_likelihood=True, gamma_sampler="fused",
                            remat=False, antithetic=True, samples=4,
                            likelihood_clip="static"),
+    # single mirrored pair: the next halving of the likelihood sweep —
+    # convergence quality measured by benchmarks/antithetic_s2.py
+    "anti-s2-static": dict(fused_likelihood=True, gamma_sampler="fused",
+                           remat=False, antithetic=True, samples=2,
+                           likelihood_clip="static"),
     "anti-s4-static-rbg": dict(fused_likelihood=True, gamma_sampler="fused",
                                remat=False, antithetic=True, samples=4,
                                likelihood_clip="static", prng_impl="rbg"),

@@ -35,17 +35,23 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--gamma", default="fused")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--samples", type=int, default=None)
+    ap.add_argument("--antithetic", action="store_true")
+    ap.add_argument("--clip", default="reference",
+                    choices=["reference", "static"])
     args = ap.parse_args()
 
-    global B
+    global B, S
     if args.batch:
         B = args.batch
+    if args.samples:
+        S = args.samples
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.poisson(1.0, (B, D)), jnp.float32)
     model = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(50000 * D),
         dtype="float32", scale_columns=False, fused_likelihood=True,
-        gamma_sampler=args.gamma,
+        gamma_sampler=args.gamma, likelihood_clip=args.clip,
     )
     sur = model._surrogate
     opt = optax.chain(optax.clip(5.0), optax.adam(0.01))
@@ -67,7 +73,8 @@ def main():
     def make_step(mode):
         def step(p, o, key, x):
             def f(p_):
-                s, lq = sur.sample_and_log_prob(p_, key, (S,))
+                s, lq = sur.sample_and_log_prob(
+                    p_, key, (S,), antithetic=args.antithetic)
                 if mode == "sampling-only":
                     return jnp.mean(lq) / B
                 lp = energy({"counts": x}, s, mode)
