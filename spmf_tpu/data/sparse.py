@@ -353,9 +353,10 @@ class DeviceSparseCounts:
         if any batch exceeded the static pad (silently-truncated energy)."""
         if not self._pending_nnz:
             return
-        import jax.numpy as jnp
-
-        totals = np.asarray(jnp.stack(self._pending_nnz))
+        # entries are per-batch scalars (iterator) and/or per-epoch arrays
+        # (the engine's sparse whole-epoch scan); one fetch each
+        totals = np.concatenate(
+            [np.atleast_1d(np.asarray(t)) for t in self._pending_nnz])
         self._pending_nnz = []
         if (totals > self._max_nnz).any():
             raise ValueError(

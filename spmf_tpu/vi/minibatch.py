@@ -231,7 +231,10 @@ def fit_surrogate_posterior(
     layout the sharded step math expects — a v5e-8 data-parallel fit
     rides the same single-dispatch epochs as a single chip (multi-host
     fits keep the general loop: their batches are assembled per-process
-    on host).
+    on host). A ``DeviceSparseCounts`` source (HBM CSR) also takes the
+    scan path on a single unmeshed device: each batch's padded COO
+    triplets are assembled in-scan by the dataset's static-shape gather,
+    and the per-batch nnz totals ride out for the pad-overflow audit.
     ``epoch_chunk`` (scan path only) additionally runs K epochs per
     dispatch with the per-epoch best/plateau/divergence control flow
     executed on device — the default (None) engages K=8 adaptively once
@@ -474,17 +477,31 @@ def fit_surrogate_posterior(
     # host. The sharded/multi-host/host-streamed paths keep the general
     # loop (their batches are assembled or re-placed off-device).
     _scan_ds = None
+    _sparse_scan = False
     if epoch_scan is not False:
         from spmf_tpu.data import DeviceArrayDataset
+        from spmf_tpu.data.sparse import DeviceSparseCounts
 
         _src = getattr(batched_data_factory, "source", None)
         eligible = jax.process_count() == 1
+        _mesh_nontrivial = mesh is not None and any(
+            mesh.shape[a] > 1 for a in mesh.axis_names)
         if isinstance(_src, DeviceArrayDataset) and eligible:
             _scan_ds = _src
+        elif (isinstance(_src, DeviceSparseCounts) and eligible
+                and not _mesh_nontrivial):
+            # sparse whole-epoch scan: the in-scan batch is assembled by
+            # the dataset's static-shape CSR->COO gather; per-batch nnz
+            # totals ride out of the scan for the overflow check. Meshed
+            # sparse training keeps the general loop (the COO energy
+            # shard_maps per batch there).
+            _scan_ds = _src
+            _sparse_scan = True
         elif epoch_scan:
             raise ValueError(
                 "epoch_scan=True requires a DeviceArrayDataset source "
-                "and a single process (meshes are fine); got "
+                "(meshes are fine) or a DeviceSparseCounts source (on a "
+                "trivial mesh), and a single process; got "
                 f"source={type(_src).__name__}, "
                 f"processes={jax.process_count()}"
             )
@@ -495,7 +512,20 @@ def fit_surrogate_posterior(
         n_rows_ds = ds.num_rows
         bs = int(ds._batch_size or n_rows_ds)
         nb = n_rows_ds // bs
-        rem = 0 if ds._drop_remainder else n_rows_ds % bs
+        if _sparse_scan:
+            # mirror the DeviceSparseCounts iterator contract: static
+            # per-batch shapes mean the remainder is DROPPED, and only
+            # with the caller's opt-in
+            if n_rows_ds % bs and not ds._drop_remainder:
+                raise ValueError(
+                    f"DeviceSparseCounts drops the {n_rows_ds % bs}-row "
+                    f"remainder (N={n_rows_ds}, batch={bs}, static "
+                    "per-batch compile): pass drop_remainder=True to "
+                    "batch() to accept this, or a batch size dividing N"
+                )
+            rem = 0
+        else:
+            rem = 0 if ds._drop_remainder else n_rows_ds % bs
         if nb == 0:
             if rem == 0:
                 raise ValueError(
@@ -508,11 +538,17 @@ def fit_surrogate_posterior(
         # arrays serialize into the remote-compile request body (the tunnel
         # rejects multi-GB bodies with HTTP 413) and pin an extra executable
         # reference; as arguments they are passed by device handle
-        ds_tensors = {
-            k: (v.astype(dtype)
-                if jnp.issubdtype(v.dtype, jnp.floating) else v)
-            for k, v in ds.tensors.items()
-        }
+        _cast = lambda v: (v.astype(dtype)  # noqa: E731
+                           if jnp.issubdtype(v.dtype, jnp.floating) else v)
+        if _sparse_scan:
+            _assemble = type(ds)._make_assemble(ds._pad(bs), bs)
+            ds_tensors = {
+                "csr": {"indptr": ds.indptr, "cols": ds.indices,
+                        "vals": _cast(ds.data)},
+                "extras": {k: _cast(v) for k, v in ds.extras.items()},
+            }
+        else:
+            ds_tensors = {k: _cast(v) for k, v in ds.tensors.items()}
 
         # Mesh composition (VERDICT r3 #1): the dataset tensors live
         # SHARDED across the mesh — rows over dp, wide column dims over fp
@@ -560,32 +596,47 @@ def fit_surrogate_posterior(
                 }
 
         def _epoch_math(p, o, key, tensors):
-            """One epoch (shuffle, batch scan, remainder) as traced jax."""
+            """One epoch (shuffle, batch scan, remainder) as traced jax.
+            Returns per-batch losses and per-batch assembled-nnz totals
+            (zeros on the dense path) — the sparse scan's static pad
+            cannot be overflow-checked in-trace without a host sync, so
+            the totals ride out for DeviceSparseCounts.check_overflow."""
             perm_key, step_key = jax.random.split(key)
             idx = (jax.random.permutation(perm_key, n_rows_ds)
                    if do_shuffle else jnp.arange(n_rows_ds))
 
             def gather(start, size):
                 sl = jax.lax.dynamic_slice_in_dim(idx, start, size)
+                if _sparse_scan:
+                    b = dict(_assemble(tensors["csr"]["indptr"],
+                                       tensors["csr"]["cols"],
+                                       tensors["csr"]["vals"], sl))
+                    nnz = b.pop("coo_nnz")
+                    b["indices"] = sl
+                    for k, v in tensors["extras"].items():
+                        b[k] = jnp.take(v, sl, axis=0)
+                    return b, nnz
                 b = {k: jnp.take(v, sl, axis=0)
                      for k, v in tensors.items()}
-                return _constrain_batch(b) if _constrain_batch else b
+                b = _constrain_batch(b) if _constrain_batch else b
+                return b, jnp.zeros((), jnp.int32)
 
             def body(carry, args):
                 start, k_ = args
-                p_, o_, loss = _step_math(*carry, k_, gather(start, bs))
-                return (p_, o_), loss
+                batch, nnz = gather(start, bs)
+                p_, o_, loss = _step_math(*carry, k_, batch)
+                return (p_, o_), (loss, nnz)
 
             keys = jax.random.split(step_key, nb + (1 if rem else 0))
-            (p, o), losses_arr = jax.lax.scan(
+            (p, o), (losses_arr, nnz_arr) = jax.lax.scan(
                 body, (p, o), (jnp.arange(nb) * bs, keys[:nb])
             )
             if rem:
-                p, o, loss_rem = _step_math(
-                    p, o, keys[nb], gather(nb * bs, rem)
-                )
+                batch_rem, nnz_rem = gather(nb * bs, rem)
+                p, o, loss_rem = _step_math(p, o, keys[nb], batch_rem)
                 losses_arr = jnp.concatenate([losses_arr, loss_rem[None]])
-            return p, o, losses_arr
+                nnz_arr = jnp.concatenate([nnz_arr, nnz_rem[None]])
+            return p, o, losses_arr, nnz_arr
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _run_epoch_impl(p, o, key_data, tensors):
@@ -593,7 +644,15 @@ def fit_surrogate_posterior(
                                tensors)
 
         def run_epoch(p, o, key_data):
-            return _run_epoch_impl(p, o, key_data, ds_tensors)
+            p, o, losses_arr, nnz_arr = _run_epoch_impl(
+                p, o, key_data, ds_tensors)
+            if _sparse_scan:
+                ds._pending_nnz.append(nnz_arr)
+                # amortized overflow audit (one tiny fetch; the epoch just
+                # completed, so this does not stall the pipeline)
+                if len(ds._pending_nnz) >= 8:
+                    ds.check_overflow()
+            return p, o, losses_arr
 
         def _select(pred, a, b):
             """Per-leaf where: a if pred else b (structures must match)."""
@@ -616,7 +675,7 @@ def fit_surrogate_posterior(
 
             def epoch_body(carry, kd):
                 p_, o_, bp_, bo_, bloss_, stall_, lr_ = carry
-                p_, o_, losses_arr = _epoch_math(
+                p_, o_, losses_arr, nnz_arr = _epoch_math(
                     p_, o_, jax.random.wrap_key_data(kd), tensors
                 )
                 # decisions are made in the engine compute dtype (the
@@ -645,22 +704,25 @@ def fit_surrogate_posterior(
                 stall_ = jnp.where(plateau, 0, stall_)
                 flags = jnp.stack([improved, plateau, finite])
                 return (p_, o_, bp_, bo_, bloss_, stall_, lr_), (
-                    losses_arr, flags,
+                    losses_arr, flags, nnz_arr,
                 )
 
-            carry, (losses_k, flags_k) = jax.lax.scan(
+            carry, (losses_k, flags_k, nnz_k) = jax.lax.scan(
                 epoch_body, (p, o, bp, bo, bloss, stall, lr), kds
             )
-            return carry, losses_k, flags_k
+            return carry, losses_k, flags_k, nnz_k
 
         def run_chunk(p, o, bp, bo, bloss, stall, lr, kds):
-            return _run_chunk_impl(
+            carry, losses_k, flags_k, nnz_k = _run_chunk_impl(
                 p, o, bp, bo,
                 jnp.asarray(bloss, dtype=dtype),
                 jnp.asarray(stall, jnp.int32),
                 jnp.asarray(lr, jnp.float32),
                 kds, ds_tensors,
             )
+            if _sparse_scan:
+                ds._pending_nnz.append(nnz_k.reshape(-1))
+            return carry, losses_k, flags_k
 
     @jax.jit
     def eval_loss(p, key, batch):
@@ -858,7 +920,8 @@ def fit_surrogate_posterior(
         if run_epoch is None:
             raise ValueError(
                 "epoch_chunk > 1 requires the epoch_scan fast path "
-                "(DeviceArrayDataset source, single process)"
+                "(DeviceArrayDataset or DeviceSparseCounts source, "
+                "single process)"
             )
         chunk_size = epoch_chunk
 
@@ -1042,6 +1105,10 @@ def fit_surrogate_posterior(
             f"params so far (loss {best_loss})")
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
+    if _sparse_scan:
+        # final static-pad audit for the sparse scan path (the iterator
+        # checks at each epoch end; the scan accumulates per-epoch totals)
+        _scan_ds.check_overflow()
 
     # hand back the best parameters (matches reference restore-best
     # behavior), re-placed to the caller's input layout

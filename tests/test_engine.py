@@ -564,6 +564,54 @@ def test_epoch_chunk_matches_single_epoch_trajectory():
     assert single.learning_rate < 0.05
 
 
+def test_sparse_epoch_scan_path():
+    """A DeviceSparseCounts source auto-engages the whole-epoch scan
+    (r4): per-batch padded-COO assembly runs INSIDE lax.scan via the
+    dataset's static-shape CSR gather. The scan path must train to the
+    general loop's neighborhood, epoch_chunk must be trajectory-identical
+    (f64) riding the same machinery, and the static-pad overflow audit
+    must still fire (the totals leave the scan as an array)."""
+    import pytest
+
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import SparseCounts
+
+    rng = np.random.default_rng(3)
+    X = (rng.random((96, 12)) < 0.4) * rng.poisson(2.0, (96, 12))
+
+    def run(max_nnz=None, **kw):
+        m = PoissonFactorization(latent_dim=2, feature_dim=12,
+                                 u_tau_scale=0.1, dtype="float64",
+                                 scale_columns=False)
+        dev = SparseCounts.from_dense(X).shuffle(seed=0).batch(
+            32, drop_remainder=True).to_device(max_nnz=max_nnz)
+        losses = m.fit(batched_data_factory=dev, num_steps=8,
+                       learning_rate=0.05, sample_size=4, verbose=False,
+                       rel_tol=None, seed=0, **kw)
+        return m, losses
+
+    m, losses = run()
+    assert m.last_fit.extras["epoch_scan"] is True
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # general loop on the same source: same optimum neighborhood
+    # (independent shuffle streams by design — statistical agreement)
+    m_g, losses_g = run(epoch_scan=False)
+    assert m_g.last_fit.extras["epoch_scan"] is False
+    np.testing.assert_allclose(losses[-1], losses_g[-1],
+                               rtol=0.1)
+
+    # epoch_chunk rides the sparse scan with identical trajectories
+    _, l1 = run(epoch_chunk=1)
+    _, l4 = run(epoch_chunk=4)
+    assert list(l1) == list(l4)
+
+    # a forced-undersized pad must be caught by the overflow audit
+    with pytest.raises(ValueError, match="overflowed"):
+        run(max_nnz=64)
+
+
 def test_epoch_chunk_requires_scan_path():
     import pytest
 
