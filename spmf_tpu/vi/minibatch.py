@@ -231,10 +231,15 @@ def fit_surrogate_posterior(
     layout the sharded step math expects — a v5e-8 data-parallel fit
     rides the same single-dispatch epochs as a single chip (multi-host
     fits keep the general loop: their batches are assembled per-process
-    on host). A ``DeviceSparseCounts`` source (HBM CSR) also takes the
-    scan path on a single unmeshed device: each batch's padded COO
-    triplets are assembled in-scan by the dataset's static-shape gather,
-    and the per-batch nnz totals ride out for the pad-overflow audit.
+    on host). A ``DeviceSparseCounts`` source (HBM CSR) can take the
+    scan path on a single unmeshed device with an EXPLICIT
+    ``epoch_scan=True``: each batch's padded COO triplets are assembled
+    in-scan by the dataset's static-shape gather, and the per-batch nnz
+    totals ride out for the pad-overflow audit. Auto does not engage it
+    for sparse sources: the general loop's eager assembles already
+    pipeline behind the step, and the scan measured ~5% slower (and the
+    K-epoch chunk 2x slower) interleaved at the production sparse config
+    (benchmarks/sparse_fit_ab.py).
     ``epoch_chunk`` (scan path only) additionally runs K epochs per
     dispatch with the per-epoch best/plateau/divergence control flow
     executed on device — the default (None) engages K=8 adaptively once
@@ -489,12 +494,17 @@ def fit_surrogate_posterior(
         if isinstance(_src, DeviceArrayDataset) and eligible:
             _scan_ds = _src
         elif (isinstance(_src, DeviceSparseCounts) and eligible
-                and not _mesh_nontrivial):
-            # sparse whole-epoch scan: the in-scan batch is assembled by
-            # the dataset's static-shape CSR->COO gather; per-batch nnz
-            # totals ride out of the scan for the overflow check. Meshed
-            # sparse training keeps the general loop (the COO energy
-            # shard_maps per batch there).
+                and epoch_scan and not _mesh_nontrivial):
+            # sparse whole-epoch scan (OPT-IN, epoch_scan=True): the
+            # in-scan batch is assembled by the dataset's static-shape
+            # CSR->COO gather; per-batch nnz totals ride out of the scan
+            # for the overflow check. Unlike the dense case, auto does
+            # NOT engage: the general loop's eager assemble dispatches
+            # already pipeline behind the previous step, and the scan
+            # measured ~5% slower interleaved at the production sparse
+            # config (benchmarks/sparse_fit_ab.py: 66.7k vs 70.0k
+            # rows/sec). Meshed sparse training keeps the general loop
+            # (the COO energy shard_maps per batch there).
             _scan_ds = _src
             _sparse_scan = True
         elif epoch_scan:
@@ -967,7 +977,12 @@ def fit_surrogate_posterior(
         while epoch < num_steps:
             remaining = num_steps - epoch
             if (run_epoch is not None and epoch_chunk is None and epoch == 2
+                    and not _sparse_scan
                     and epoch_seconds[1] <= 1.0 and remaining >= 3 * 8):
+                # (_sparse_scan excluded: the K-epoch executable measured
+                # 2x SLOWER per epoch over a CSR-carrying scan —
+                # benchmarks/sparse_fit_ab.py; explicit epoch_chunk>1 is
+                # still honored, trajectory-identical)
                 chunk_size = 8
             K = 0
             if chunk_size > 1:

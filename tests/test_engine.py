@@ -565,12 +565,15 @@ def test_epoch_chunk_matches_single_epoch_trajectory():
 
 
 def test_sparse_epoch_scan_path():
-    """A DeviceSparseCounts source auto-engages the whole-epoch scan
-    (r4): per-batch padded-COO assembly runs INSIDE lax.scan via the
-    dataset's static-shape CSR gather. The scan path must train to the
-    general loop's neighborhood, epoch_chunk must be trajectory-identical
-    (f64) riding the same machinery, and the static-pad overflow audit
-    must still fire (the totals leave the scan as an array)."""
+    """The whole-epoch scan over a DeviceSparseCounts source (r4,
+    OPT-IN): per-batch padded-COO assembly runs INSIDE lax.scan via the
+    dataset's static-shape CSR gather. Auto must NOT engage it (the
+    general loop's pipelined eager assembles measured faster —
+    benchmarks/sparse_fit_ab.py); with epoch_scan=True it must train to
+    the general loop's neighborhood, epoch_chunk must be
+    trajectory-identical (f64) riding the same machinery, and the
+    static-pad overflow audit must still fire (the totals leave the
+    scan as an array)."""
     import pytest
 
     from spmf_tpu import PoissonFactorization
@@ -590,26 +593,27 @@ def test_sparse_epoch_scan_path():
                        rel_tol=None, seed=0, **kw)
         return m, losses
 
-    m, losses = run()
+    m, losses = run(epoch_scan=True)
     assert m.last_fit.extras["epoch_scan"] is True
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
 
-    # general loop on the same source: same optimum neighborhood
-    # (independent shuffle streams by design — statistical agreement)
-    m_g, losses_g = run(epoch_scan=False)
+    # the auto default stays the general loop for sparse sources
+    m_g, losses_g = run()
     assert m_g.last_fit.extras["epoch_scan"] is False
+    # same optimum neighborhood (independent shuffle streams by design —
+    # statistical agreement)
     np.testing.assert_allclose(losses[-1], losses_g[-1],
                                rtol=0.1)
 
     # epoch_chunk rides the sparse scan with identical trajectories
-    _, l1 = run(epoch_chunk=1)
-    _, l4 = run(epoch_chunk=4)
+    _, l1 = run(epoch_scan=True, epoch_chunk=1)
+    _, l4 = run(epoch_scan=True, epoch_chunk=4)
     assert list(l1) == list(l4)
 
     # a forced-undersized pad must be caught by the overflow audit
     with pytest.raises(ValueError, match="overflowed"):
-        run(max_nnz=64)
+        run(epoch_scan=True, max_nnz=64)
 
 
 def test_epoch_chunk_requires_scan_path():
