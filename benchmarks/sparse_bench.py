@@ -27,6 +27,10 @@ cross-process comparisons untrustworthy — CLAUDE.md):
                            measures slower: the searchsorted run decode is
                            itself gather-bound.
 Writes docs/sparse_bench.json; the headline value is the best arm.
+NOTE the host-* arms are sensitive to host CPU load (single-core host
+does the batch assembly): a contended run collapses them 2-3x while the
+device-* arms hold steady at ~69-70k — only run this benchmark on a
+quiet host, and treat host-vs-device rankings across windows as drift.
 """
 import json
 import os
@@ -95,6 +99,16 @@ configs["host_coo_gather_energy"] = run(
     "host-coo-gather-energy", fresh_host(), 2, B, scatter=False)
 configs["host_coo_gather_b8192"] = run(
     "host-coo-gather-b8192", fresh_host(8192), 2, 8192, scatter=False)
+# larger batches amortize the batch-count-scaled sampling cost (the nz
+# gather work per epoch is fixed at nnz)
+configs["host_coo_gather_b32768"] = run(
+    "host-coo-gather-b32768", fresh_host(32768), 2, 32768, scatter=False)
+# device-resident CSR feeding the flat-gather COO energy: the jitted
+# on-device batch assembly pipelines behind the previous step, beating
+# host assembly by ~1.2x interleaved (docs/sparse_fit_ab.json)
+configs["device_coo_gather_b8192"] = run(
+    "device-coo-gather-b8192", fresh_host(8192).to_device(), 2, 8192,
+    scatter=False)
 # the r3 TPU path (default): scatter the COO batch into a dense slab on
 # device, run the fused MXU-dense kernel — dense FLOPs beat gathers below
 # ~1% density; larger batches amortize the batch-independent D-scale
