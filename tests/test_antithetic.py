@@ -258,3 +258,25 @@ def test_autoencoder_fit_antithetic():
     losses = model.fit(batch_size=48, num_steps=3, sample_size=4,
                        rel_tol=None, verbose=False, antithetic=True)
     assert len(losses) >= 1 and np.isfinite(losses).all()
+
+
+def test_sparse_coo_fit_antithetic():
+    """fit(antithetic=True) composes with the flat-gather COO energy
+    (sparse_dense_scatter=False): antithetic lives entirely in the
+    surrogate sampler, so the sparse scRNA path gets the same estimator
+    lever as the dense headline (benchmarks/sparse_antithetic_ab.py
+    measures the throughput side)."""
+    from spmf_tpu import PoissonFactorization
+    from spmf_tpu.data import SparseCounts
+
+    rng = np.random.default_rng(3)
+    dense = rng.poisson(0.3, size=(80, 12)).astype(float)
+    sp = SparseCounts.from_dense(dense).shuffle(seed=0).batch(
+        40, drop_remainder=True).as_coo()
+    model = PoissonFactorization(
+        latent_dim=2, feature_dim=12, u_tau_scale=0.1, dtype="float64",
+        gamma_sampler="fast", sparse_dense_scatter=False, data=sp,
+    )
+    losses = model.fit(batched_data_factory=sp, num_steps=3, sample_size=4,
+                       rel_tol=None, verbose=False, antithetic=True)
+    assert len(losses) >= 1 and np.isfinite(losses).all()
