@@ -27,10 +27,14 @@ cross-process comparisons untrustworthy — CLAUDE.md):
                            measures slower: the searchsorted run decode is
                            itself gather-bound.
 Writes docs/sparse_bench.json; the headline value is the best arm.
-NOTE the host-* arms are sensitive to host CPU load (single-core host
-does the batch assembly): a contended run collapses them 2-3x while the
-device-* arms hold steady at ~69-70k — only run this benchmark on a
-quiet host, and treat host-vs-device rankings across windows as drift.
+Since r4 the arms are REP-INTERLEAVED in one process (A,B,...,A,B,...)
+with the per-arm median reported — the tunnel's ~1.7x ambient drift plus
+its first-config warmup bias made the earlier sequential-arm rankings
+untrustworthy (the first arms systematically lost; CLAUDE.md).
+NOTE the host-* arms are additionally sensitive to host CPU load
+(single-core host does the batch assembly): a contended run collapses
+them 2-3x while the device-* arms hold steady — only run this benchmark
+on a quiet host.
 """
 import json
 import os
@@ -75,12 +79,11 @@ def run(label, data, prefetch, bs, scatter=None):
     epoch_s = m.last_fit.extras["epoch_seconds"]
     steady = min(epoch_s[1:])
     out = {
-        "batch": bs,
-        "rows_per_sec": round((N // bs) * bs / steady, 1),
+        "steady_epoch_s": steady,
         "epoch_seconds": [round(s, 2) for s in epoch_s],
         "losses": [round(float(l), 4) for l in losses],
     }
-    print(label, json.dumps(out), flush=True)
+    del m, data
     return out
 
 
@@ -90,34 +93,59 @@ def fresh_host(bs=B):
     return s.shuffle(seed=0).batch(bs, drop_remainder=True).as_coo()
 
 
+# arm -> (batch, data builder, sparse_dense_scatter)
+# host-coo-gather-*: the flat-gather COO energy (r4 rewrite: folds
+#   samples into the gather width, docs/gather_probe.json — the r2
+#   version's batched per-sample gathers padded (nnz, S, K) 8x under TPU
+#   tiling). Larger batches amortize the batch-count-scaled sampling
+#   cost (the nz gather work per epoch is fixed at nnz).
+# device-coo-gather: DeviceSparseCounts (HBM CSR + jitted on-device COO
+#   assembly) feeding the flat-gather energy.
+# *-scatter-dense-*: the dense-slab path — scatter the COO batch into a
+#   transient dense (B, D) slab on device, run the fused MXU kernel;
+#   wins above the ~0.17% interleaved density crossover
+#   (benchmarks/sparse_ab.py).
+ARMS = {
+    "host_coo_gather_energy": (B, lambda: fresh_host(), False),
+    "host_coo_gather_b8192": (8192, lambda: fresh_host(8192), False),
+    "host_coo_gather_b32768": (32768, lambda: fresh_host(32768), False),
+    "device_coo_gather_b8192": (
+        8192, lambda: fresh_host(8192).to_device(), False),
+    "host_scatter_dense_b2048": (2048, lambda: fresh_host(2048), None),
+    "host_scatter_dense_b8192": (8192, lambda: fresh_host(8192), None),
+    "host_scatter_dense_b16384": (16384, lambda: fresh_host(16384), None),
+    "device_scatter_dense_b8192": (
+        8192, lambda: fresh_host(8192).to_device(), None),
+}
+REPS = 3
+
+steady = {a: [] for a in ARMS}
+detail = {}
+for rep in range(REPS):
+    for label, (bs, build, scatter) in ARMS.items():
+        t0 = time.time()
+        out = run(label, build(), 2, bs, scatter=scatter)
+        steady[label].append(out["steady_epoch_s"])
+        detail[label] = out
+        print(f"rep{rep} {label:>26s}: steady {out['steady_epoch_s']:.3f}s "
+              f"epochs {out['epoch_seconds']} (wall {time.time()-t0:.0f}s)",
+              flush=True)
+
 configs = {}
-# the COO gather-dot energy. r2 version was gather-bound at ~3.2 s/epoch
-# (batched per-sample gathers pad (nnz, S, K) 8x under TPU tiling); the
-# r4 flat-gather rewrite folds samples into the gather width
-# (docs/gather_probe.json) — re-measured here at two batch sizes
-configs["host_coo_gather_energy"] = run(
-    "host-coo-gather-energy", fresh_host(), 2, B, scatter=False)
-configs["host_coo_gather_b8192"] = run(
-    "host-coo-gather-b8192", fresh_host(8192), 2, 8192, scatter=False)
-# larger batches amortize the batch-count-scaled sampling cost (the nz
-# gather work per epoch is fixed at nnz)
-configs["host_coo_gather_b32768"] = run(
-    "host-coo-gather-b32768", fresh_host(32768), 2, 32768, scatter=False)
-# device-resident CSR feeding the flat-gather COO energy: the jitted
-# on-device batch assembly pipelines behind the previous step, beating
-# host assembly by ~1.2x interleaved (docs/sparse_fit_ab.json)
-configs["device_coo_gather_b8192"] = run(
-    "device-coo-gather-b8192", fresh_host(8192).to_device(), 2, 8192,
-    scatter=False)
-# the r3 TPU path (default): scatter the COO batch into a dense slab on
-# device, run the fused MXU-dense kernel — dense FLOPs beat gathers below
-# ~1% density; larger batches amortize the batch-independent D-scale
-# surrogate sampling
-for bs in (2048, 8192, 16384):
-    configs[f"host_scatter_dense_b{bs}"] = run(
-        f"host-scatter-dense-b{bs}", fresh_host(bs), 2, bs)
-configs["device_scatter_dense_b8192"] = run(
-    "device-scatter-dense-b8192", fresh_host(8192).to_device(), 2, 8192)
+for label, (bs, _, _) in ARMS.items():
+    med = float(np.median(steady[label]))
+    configs[label] = {
+        "batch": bs,
+        "rows_per_sec": round((N // bs) * bs / med, 1),
+        "steady_epoch_s_median": round(med, 3),
+        "steady_span": [round(min(steady[label]), 3),
+                        round(max(steady[label]), 3)],
+        "epoch_seconds": detail[label]["epoch_seconds"],
+        "losses": detail[label]["losses"],
+    }
+    print(f"{label:>26s}: {configs[label]['rows_per_sec']:>9.1f} rows/sec "
+          f"(median {med:.3f}s, span {configs[label]['steady_span']})",
+          flush=True)
 
 best_label = max(configs, key=lambda k: configs[k]["rows_per_sec"])
 result = {
