@@ -22,10 +22,15 @@ cross-process comparisons untrustworthy — CLAUDE.md):
                            batch size). Still the default: it wins above
                            the ~0.3% density crossover (benchmarks/
                            sparse_ab.py interleaved A/B).
-  device-scatter-dense     DeviceSparseCounts (HBM CSR + jitted on-device
-                           COO assembly) feeding the same scatter path —
-                           measures slower: the searchsorted run decode is
-                           itself gather-bound.
+  device-coo-epoch-*       DeviceSparseCounts (r5): the whole shuffled
+                           epoch's COO stream is decoded ON DEVICE once
+                           (scatter+cumsum run decode, one flat gather);
+                           each batch is three dynamic slices — zero host
+                           work / zero per-batch H2D. The *-scan arms add
+                           fit(epoch_scan=True): the entire epoch is ONE
+                           jitted lax.scan dispatch.
+  device-scatter-dense     the same device assembly feeding the
+                           dense-scatter + fused MXU path.
 Writes docs/sparse_bench.json; the headline value is the best arm.
 Since r4 the arms are REP-INTERLEAVED in one process (A,B,...,A,B,...)
 with the per-arm median reported — the tunnel's ~1.7x ambient drift plus
@@ -67,15 +72,17 @@ print(f"CSR built: {N}x{D}, nnz={len(sp_base.data):,} "
       f"dense equivalent {N*D*4/2**30:.1f} GiB", flush=True)
 
 
-def run(label, data, prefetch, bs, scatter=None):
+def run(label, data, prefetch, bs, scatter=None, epoch_scan=None):
     m = PoissonFactorization(
         latent_dim=P, feature_dim=D, u_tau_scale=1.0 / np.sqrt(N * D),
         dtype="float32", data=data, scale_rows=False,
         sparse_dense_scatter=scatter,
     )
+    kw = {} if epoch_scan is None else {"epoch_scan": epoch_scan}
     losses = m.fit(batched_data_factory=data, num_steps=EPOCHS,
                    learning_rate=0.05, sample_size=8, verbose=False,
-                   rel_tol=None, remat_sampling=False, prefetch=prefetch)
+                   rel_tol=None, remat_sampling=False, prefetch=prefetch,
+                   **kw)
     epoch_s = m.last_fit.extras["epoch_seconds"]
     steady = min(epoch_s[1:])
     out = {
@@ -106,25 +113,25 @@ def fresh_host(bs=B):
 #   wins above the ~0.17% interleaved density crossover
 #   (benchmarks/sparse_ab.py).
 ARMS = {
-    "host_coo_gather_energy": (B, lambda: fresh_host(), False),
-    "host_coo_gather_b8192": (8192, lambda: fresh_host(8192), False),
-    "host_coo_gather_b32768": (32768, lambda: fresh_host(32768), False),
-    "device_coo_gather_b8192": (
-        8192, lambda: fresh_host(8192).to_device(), False),
-    "host_scatter_dense_b2048": (2048, lambda: fresh_host(2048), None),
-    "host_scatter_dense_b8192": (8192, lambda: fresh_host(8192), None),
-    "host_scatter_dense_b16384": (16384, lambda: fresh_host(16384), None),
+    "host_coo_gather_b8192": (8192, lambda: fresh_host(8192), False, None),
+    "device_coo_epoch_b8192": (
+        8192, lambda: fresh_host(8192).to_device(), False, None),
+    "device_coo_epoch_scan_b8192": (
+        8192, lambda: fresh_host(8192).to_device(), False, True),
+    "device_coo_epoch_scan_b32768": (
+        32768, lambda: fresh_host(32768).to_device(), False, True),
+    "host_scatter_dense_b8192": (8192, lambda: fresh_host(8192), None, None),
     "device_scatter_dense_b8192": (
-        8192, lambda: fresh_host(8192).to_device(), None),
+        8192, lambda: fresh_host(8192).to_device(), None, None),
 }
 REPS = 3
 
 steady = {a: [] for a in ARMS}
 detail = {}
 for rep in range(REPS):
-    for label, (bs, build, scatter) in ARMS.items():
+    for label, (bs, build, scatter, escan) in ARMS.items():
         t0 = time.time()
-        out = run(label, build(), 2, bs, scatter=scatter)
+        out = run(label, build(), 2, bs, scatter=scatter, epoch_scan=escan)
         steady[label].append(out["steady_epoch_s"])
         detail[label] = out
         print(f"rep{rep} {label:>26s}: steady {out['steady_epoch_s']:.3f}s "
@@ -132,7 +139,7 @@ for rep in range(REPS):
               flush=True)
 
 configs = {}
-for label, (bs, _, _) in ARMS.items():
+for label, (bs, _, _, _) in ARMS.items():
     med = float(np.median(steady[label]))
     configs[label] = {
         "batch": bs,

@@ -11,6 +11,7 @@ setup(
         "TPU-native sparse probabilistic matrix factorization "
         "(JAX/XLA/Pallas rebuild of mederrata/spmf)"
     ),
+    license="MIT",
     packages=find_packages(include=["spmf_tpu", "spmf_tpu.*"]),
     # the native fast-ingest source (compiled on demand by data/native.py,
     # numpy fallback when no toolchain) must ship with the package

@@ -230,15 +230,20 @@ class SparseCounts:
 
 class DeviceSparseCounts:
     """Device-resident CSR counts: the full nnz triplet arrays live in HBM
-    once, and each batch's padded COO triplets are assembled by ONE jitted
-    on-device gather — the sparse counterpart of DeviceArrayDataset.
+    once, and each epoch's shuffled COO stream is decoded ON DEVICE in one
+    static-shape pass — the sparse counterpart of DeviceArrayDataset.
 
-    Batch assembly is O(pad): for output slot j, the owning batch-local row
-    is ``searchsorted(cumsum(counts), j)`` and the CSR position is
-    ``indptr[row_ids[r]] + (j - run_start(r))`` — all static shapes, no
-    host work beyond the per-epoch numpy shuffle of row ids. Because the
-    assemble dispatch is asynchronous, it pipelines behind the previous
-    train step for free.
+    Epoch-decode layout (r5): every epoch covers all rows, so the shuffled
+    epoch's triplet stream has a STATIC length (total nnz). Once per epoch
+    one jitted dispatch builds ``(erows, ecols, evals)`` in shuffled-row
+    order via a scatter+cumsum run decode (slot j's owning row is
+    ``cumsum(ones scattered at run starts)`` — O(nnz), no per-batch
+    searchsorted) plus one flat gather of cols/vals. Each batch is then
+    three ``dynamic_slice``s of the static pad at the batch's nnz offset —
+    zero host work and zero H2D per batch (the r4 sparse floor was host
+    COO assembly + per-batch transfer). Because every dispatch is
+    asynchronous, epoch decode and batch slices pipeline behind the
+    previous train step for free.
 
     Padding overflow (batch nnz > pad) cannot be checked per batch without
     a host sync, so entries would be silently truncated; the pad includes
@@ -321,6 +326,85 @@ class DeviceSparseCounts:
             fn = cache[(pad, bs)] = self._make_assemble(pad, bs)
         return fn
 
+    # ---------------------------------------------------- epoch decode (r5)
+    @staticmethod
+    def _epoch_decode_math(indptr, cols, vals, perm, pad):
+        """Traced math: decode the WHOLE shuffled epoch's COO triplets in
+        shuffled-row order. Static output size = total nnz (+pad zeros so
+        any batch slice stays in bounds). Returns
+        {erows (shuffled-row index per slot), ecols, evals, cum (per-row
+        inclusive nnz cumsum), perm}."""
+        import jax.numpy as jnp
+
+        nnz = cols.shape[0]
+        lo = indptr[perm]                              # (N,) CSR run starts
+        counts = indptr[perm + 1] - lo                 # (N,)
+        cum = jnp.cumsum(counts)                       # (N,) inclusive
+        # run decode: scatter a 1 at each row's first slot (rows 1..N-1
+        # start at cum[i-1]; zero-count rows stack their starts — add
+        # handles duplicates; trailing empty rows scatter at nnz -> drop)
+        starts = jnp.zeros(nnz, jnp.int32).at[cum[:-1]].add(
+            1, mode="drop", indices_are_sorted=True)
+        r = jnp.cumsum(starts)                         # (nnz,) row per slot
+        # CSR position of slot j: row r's run begins at epoch offset
+        # cum[r-1] and CSR offset lo[r] -> one fused shift gather
+        shift = lo - (cum - counts)                    # (N,)
+        pos = shift[r] + jnp.arange(nnz, dtype=jnp.int32)
+        zpad = ((0, pad),)
+        return {
+            "erows": jnp.pad(r.astype(jnp.int32), zpad),
+            "ecols": jnp.pad(cols[pos], zpad),
+            "evals": jnp.pad(vals[pos], zpad),
+            "cum": cum,
+            "perm": perm,
+        }
+
+    @staticmethod
+    def _epoch_take_math(ep, b, bs, pad):
+        """Traced math: batch ``b`` of an epoch decode — three dynamic
+        slices at the batch's nnz offset, masked past the batch's nnz
+        (values to 0 = exact no-op in the sparse energy; rows clamped to 0
+        so segment_sum(num_segments=bs) stays in range)."""
+        import jax
+        import jax.numpy as jnp
+
+        start_row = b * bs
+        off = jnp.where(b > 0, ep["cum"][jnp.maximum(start_row - 1, 0)], 0)
+        end = ep["cum"][start_row + bs - 1]
+        bn = end - off
+        rows = jax.lax.dynamic_slice_in_dim(ep["erows"], off, pad) - start_row
+        cols_ = jax.lax.dynamic_slice_in_dim(ep["ecols"], off, pad)
+        vals_ = jax.lax.dynamic_slice_in_dim(ep["evals"], off, pad)
+        valid = jnp.arange(pad, dtype=jnp.int32) < bn
+        return {
+            "coo_rows": jnp.where(valid, rows, 0).astype(jnp.int32),
+            "coo_cols": jnp.where(valid, cols_, 0),
+            "coo_vals": jnp.where(valid, vals_,
+                                  jnp.zeros((), vals_.dtype)),
+            "coo_nnz": bn,
+            "indices": jax.lax.dynamic_slice_in_dim(
+                ep["perm"], start_row, bs),
+        }
+
+    def _epoch_fns(self, pad, bs):
+        """Cached jitted (decode, take) pair for the iterator path. The
+        CSR arrays ride as ARGUMENTS (closures serialize multi-100-MB nnz
+        arrays into the remote-compile request — HTTP 413; CLAUDE.md)."""
+        import jax
+
+        cache = getattr(self, "_epoch_fn_cache", None)
+        if cache is None:
+            cache = self._epoch_fn_cache = {}
+        fns = cache.get((pad, bs))
+        if fns is None:
+            decode = jax.jit(
+                lambda indptr, cols, vals, perm: self._epoch_decode_math(
+                    indptr, cols, vals, perm, pad))
+            take = jax.jit(
+                lambda ep, b: self._epoch_take_math(ep, b, bs, pad))
+            fns = cache[(pad, bs)] = (decode, take)
+        return fns
+
     @staticmethod
     def _make_assemble(pad, bs):
         import jax
@@ -382,22 +466,25 @@ class DeviceSparseCounts:
                 "batch size dividing N"
             )
         stop = n - (n % bs)
+        nb = stop // bs
         pad = self._pad(bs)
-        assemble = self._assemble_fn(pad, bs)
+        decode, take = self._epoch_fns(pad, bs)
         idx = np.arange(n)
         if self._shuffle:
             rng = np.random.default_rng(self._seed + self._epoch)
             self._epoch += 1
             rng.shuffle(idx)
-        for start in range(0, stop, bs):
-            # ONE H2D transfer of the batch's row indices, reused for the
-            # assemble call, every extras gather, and the yielded
-            # 'indices' tensor (each jnp.asarray here is its own eager
-            # upload + dispatch through the device tunnel)
-            sl = jnp.asarray(idx[start : start + bs], jnp.int32)
-            batch = dict(assemble(self.indptr, self.indices, self.data, sl))
+        # truncate the permutation to the consumed rows so the epoch decode
+        # is exactly the concatenation of the yielded batches (static size
+        # = their total nnz); ONE H2D upload (N int32) per epoch
+        perm = jnp.asarray(idx[:stop], jnp.int32)
+        ep = decode(self.indptr, self.indices, self.data, perm)
+        for b in range(nb):
+            # one tiny jitted dispatch per batch (3 dynamic slices + mask);
+            # asynchronous, so it pipelines behind the previous train step
+            batch = dict(take(ep, b))
             self._pending_nnz.append(batch.pop("coo_nnz"))
-            batch["indices"] = sl
+            sl = batch["indices"]
             for k, v in self.extras.items():
                 batch[k] = v[sl]
             yield batch

@@ -713,9 +713,14 @@ class PoissonFactorization(BayesianModel):
         # Sample dims flatten INTO the gather width — (nnz, S, K) results
         # pad 16->128 lanes under TPU tiling (8x bytes, measured 6.4x
         # slower end-to-end; docs/gather_probe.json) — so gather from
-        # (B, L*K) / (D, L*K) tables instead.
+        # (B, L*K) / (D, L*K) tables instead. The flatten requires
+        # matching lead (sample) dims, so broadcast v/phi up to theta's
+        # leads first (jnp.take used to tolerate mismatched leads via
+        # broadcasting; the reshape below does not).
         K = theta.shape[-1]
         lead = theta.shape[:-2]
+        v = jnp.broadcast_to(v, lead + v.shape[-2:])      # lead + (K, D)
+        phi = jnp.broadcast_to(phi, lead + phi.shape[-2:])  # lead + (1, D)
         L = int(np.prod(lead, dtype=np.int64)) if lead else 1
         D = v.shape[-1]
         th_flat = jnp.moveaxis(
@@ -1095,6 +1100,16 @@ class PoissonFactorization(BayesianModel):
         if self.mesh is not None:
             axes = tuple(ax for ax in self.mesh.axis_names
                          if self.mesh.shape[ax] > 1)
+        nshards = int(np.prod([self.mesh.shape[ax] for ax in axes],
+                              dtype=np.int64)) if axes else 1
+        if axes and rows.shape[-1] % nshards:
+            # same actionable guard as the training energy (above) — a
+            # bare shard_map error here is opaque
+            raise ValueError(
+                f"padded nnz {rows.shape[-1]} must divide the mesh device "
+                f"count {nshards} (SparseCounts.as_coo pads to 1024-"
+                "multiples, which covers any mesh up to 1024 devices)"
+            )
         if not axes:
             theta, nz_row = self._coo_encode_nz(
                 rows, cols, vals, B, A, v, phi, eta, per_row=True)
