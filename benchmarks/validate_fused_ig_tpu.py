@@ -256,3 +256,63 @@ print("antithetic FD grad max rel err:",
 with open(path, "w") as f:
     json.dump(out, f, indent=2)
 print("rewrote", os.path.abspath(path))
+
+# --------------------------------------------------- 7. stratified kernel mode
+# fused_ig_sample_logq(..., antithetic='stratified'): all samples share ONE
+# per-tile stream; pair p lattice-shifts every uniform by p/(S/2) in the
+# bit domain. Validate marginals, logq at the shifted draws, pair
+# anticorrelation, and VJP grads (the backward must replay the shifted
+# stream exactly).
+ys, lqs = jax.jit(fused_ig_sample_logq, static_argnums=(3, 4))(
+    a, b, 1234, S, "stratified")
+ys = np.asarray(ys)
+ks_strat = {}
+for i, (av, bv) in enumerate([(0.7, 0.5), (1.5, 1.0), (3.0, 2.0), (5.0, 0.8)]):
+    block = ys[:, i * (n // 4):(i + 1) * (n // 4)].ravel()
+    stat = stats.kstest(
+        inv_softplus(block), lambda q: stats.invgamma.cdf(q, av, scale=bv)
+    ).statistic
+    ks_strat[f"a={av},b={bv}"] = float(stat)
+out["stratified_ks_vs_invgamma"] = ks_strat
+print("stratified KS:", ks_strat, flush=True)
+
+zs = (ys - ys.mean(0)) / (ys.std(0) + 1e-12)
+out["stratified_pair_corr"] = float((zs[: S // 2] * zs[S // 2:]).mean())
+print("stratified pair corr:", out["stratified_pair_corr"], flush=True)
+
+xs = inv_softplus(ys)
+direct_s = (
+    stats.invgamma.logpdf(xs, a_np[None, :], scale=b_np[None, :])
+    + np.asarray(_softplus(jnp.asarray(-xs)))
+).sum(axis=1)
+out["stratified_logq_rel_err"] = float(
+    np.max(np.abs(np.asarray(lqs) - direct_s) / np.abs(direct_s)))
+print("stratified logq rel err:", out["stratified_logq_rel_err"], flush=True)
+
+
+@jax.jit
+def scalar_strat(a_, b_):
+    yy, ll = fused_ig_sample_logq(a_, b_, 777, Sg, "stratified")
+    return jnp.sum(yy * wy) + jnp.sum(ll * wl)
+
+
+ga_s, gb_s = jax.jit(jax.grad(scalar_strat, (0, 1)))(ag, bg)
+fd_s = []
+for which, g in (("a", ga_s), ("b", gb_s)):
+    for i in idx[:6]:
+        h = 1e-2
+        basis = jnp.zeros(ng, jnp.float32).at[int(i)].set(h)
+        if which == "a":
+            fd = (scalar_strat(ag + basis, bg) - scalar_strat(ag - basis, bg)) / (2 * h)
+        else:
+            fd = (scalar_strat(ag, bg + basis) - scalar_strat(ag, bg - basis)) / (2 * h)
+        an = float(g[int(i)])
+        fd = float(fd)
+        fd_s.append(abs(fd - an) / max(abs(fd), abs(an), 1e-3))
+out["stratified_fd_grad_max_rel_err"] = float(np.max(fd_s))
+print("stratified FD grad max rel err:",
+      out["stratified_fd_grad_max_rel_err"], flush=True)
+
+with open(path, "w") as f:
+    json.dump(out, f, indent=2)
+print("rewrote", os.path.abspath(path))

@@ -971,8 +971,18 @@ class PoissonFactorization(BayesianModel):
             )
         return fused_poisson_loglik_sharded(
             theta, B, phi, x, self.eta_i, self.mesh, self.log_transform,
-            self._fused_interpret, likelihood=kind, codes=codes, clip=clip,
+            self._fused_interpret, data_axis=self._row_mesh_axes(),
+            likelihood=kind, codes=codes, clip=clip,
         )
+
+    def _row_mesh_axes(self):
+        """Row-sharding axis spec for the mesh: plain 'dp', or the joint
+        ('dcn', 'dp') tuple on multi-slice meshes (rows shard over both;
+        parallel.mesh.make_multislice_mesh)."""
+        if (self.mesh is not None and "dcn" in self.mesh.axis_names
+                and self.mesh.shape["dcn"] > 1):
+            return ("dcn", "dp")
+        return "dp"
 
     def _can_fuse(self, batch_shape=None, record=True):
         """Fused kernel only for the stock Poisson decode path: no subclass
@@ -1027,11 +1037,16 @@ class PoissonFactorization(BayesianModel):
         if self._fused_kind() is None:
             return False, "model family has no fused-kernel likelihood"
         if batch_shape is not None and self.mesh is not None:
-            for dim, ax in zip(batch_shape[-2:], ("dp", "fp")):
-                if ax in self.mesh.axis_names and dim % self.mesh.shape[ax]:
+            row_axes = self._row_mesh_axes()
+            row_axes = row_axes if isinstance(row_axes, tuple) else (row_axes,)
+            for dim, ax in zip(batch_shape[-2:], (row_axes, ("fp",))):
+                nsh = int(np.prod([self.mesh.shape[a] for a in ax
+                                   if a in self.mesh.axis_names],
+                                  dtype=np.int64))
+                if dim % nsh:
                     return False, (
-                        f"batch dim {dim} does not divide mesh axis "
-                        f"{ax!r} (size {self.mesh.shape[ax]}) — pad the "
+                        f"batch dim {dim} does not divide mesh axes "
+                        f"{ax!r} (total {nsh} shards) — pad the "
                         "batch/feature dim to a multiple"
                     )
         mro = type(self).__mro__
@@ -1187,7 +1202,8 @@ class PoissonFactorization(BayesianModel):
                 out = fused_poisson_row_loglik(*args, **kw)
             else:
                 out = fused_poisson_row_loglik_sharded(
-                    *args[:5], self.mesh, **kw)
+                    *args[:5], self.mesh,
+                    data_axis=self._row_mesh_axes(), **kw)
             out = out.astype(self.dtype)
             return out[0] if squeeze else out
         ll = self.log_likelihood_components(data=batch, **samples)["log_likelihood"]

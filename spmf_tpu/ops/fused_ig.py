@@ -122,14 +122,19 @@ def _tile_bwd(a, b, logb, dg0, eps, s1, s2):
 
 
 # ------------------------------------------------------------- RNG helpers
-def _uniform_from_bits(shape):
+def _uniform_from_bits(shape, ishift=None):
     """U in (0, 1): 23 low bits + half-ulp offset (never 0 -> log safe).
-    Mosaic can't cast uint32->f32, so mask the int32 bits non-negative."""
-    bits = pltpu.prng_random_bits(shape)  # int32
-    return (bits & 0x7FFFFF).astype(jnp.float32) * (2.0**-23) + (2.0**-24)
+    Mosaic can't cast uint32->f32, so mask the int32 bits non-negative.
+    ``ishift`` (traced int32 scalar, stratified mode): lattice shift added
+    in the BIT domain (mod 2^23) — exact, and the half-ulp grid is
+    preserved (no f32 rounding of frac(u + shift) near 1)."""
+    bits = pltpu.prng_random_bits(shape) & 0x7FFFFF  # int32, 23 bits
+    if ishift is not None:
+        bits = (bits + ishift) & 0x7FFFFF
+    return bits.astype(jnp.float32) * (2.0**-23) + (2.0**-24)
 
 
-def _draw_eps_s1_s2(a, shape, mirror=None):
+def _draw_eps_s1_s2(a, shape, mirror=None, strat=None):
     """In-kernel randomness for one (tile, sample): standard normal ``eps``
     (inverse-CDF; |eps| <= ~5.2 at 23-bit resolution, far inside the WH
     cube's own clamp) and the two Stuart weighted log-uniform sums. The
@@ -139,9 +144,25 @@ def _draw_eps_s1_s2(a, shape, mirror=None):
     U -> 1-U, which negates eps exactly (erf_inv is odd and 2(1-U)-1 is
     the exact f32 negation of 2U-1) and mirrors the Stuart factors. The
     bit-twiddled U lives in [2^-24, 1-2^-24], which is symmetric, so 1-U
-    stays log-safe with no extra clamp."""
+    stays log-safe with no extra clamp.
+
+    ``strat`` ((pair, half), stratified mode): lattice-shift the j-th
+    uniform of the draw sequence by (pair * GENS[j] mod half)/half in the
+    bit domain — a Korobov rank-1 lattice across the pairs (matching
+    ops.gamma._LATTICE_GENS so the XLA path equidistributes identically);
+    all pairs replay the SAME base stream (the caller seeds per tile, not
+    per (tile, sample))."""
+    draw_idx = [0]
+
     def _u():
-        u = _uniform_from_bits(shape)
+        ishift = None
+        if strat is not None:
+            pair, half = strat
+            g = _LATTICE_GENS[draw_idx[0]]
+            draw_idx[0] += 1
+            ishift = _lattice_shift((pair * jnp.int32(g % half)) %
+                                    jnp.int32(half), half)
+        u = _uniform_from_bits(shape, ishift)
         return u if mirror is None else jnp.where(mirror, 1.0 - u, u)
 
     u0 = _u()
@@ -156,20 +177,39 @@ def _draw_eps_s1_s2(a, shape, mirror=None):
     return eps, s1, s2
 
 
+# must match ops.gamma._LATTICE_GENS (the XLA stratified path)
+_LATTICE_GENS = (1, 3299, 4919, 6029, 2543, 7723, 1031, 5501, 6577)
+
+
+def _lattice_shift(p, half):
+    """floor(p * 2^23 / half) for a traced int32 pair index p — the
+    split-quotient form avoids the int32 overflow of p*2^23 for
+    half > 255 (q, r are static Python ints)."""
+    q, r = (1 << 23) // half, (1 << 23) % half
+    return p * jnp.int32(q) + (p * jnp.int32(r)) // jnp.int32(half)
+
+
 # ------------------------------------------------------------------ kernels
 def _fwd_kernel(seed_ref, a_ref, b_ref, logb_ref, t0_ref, y_ref, lq_ref,
                 *, total, S, antithetic):
     i = pl.program_id(0)   # tile (params DMA'd once per tile: s is inner)
     s = pl.program_id(1)   # ELBO sample
     # antithetic: samples s and s+S/2 share a seed stream; the second half
-    # mirrors every uniform (U -> 1-U)
+    # mirrors every uniform (U -> 1-U). 'stratified': ALL samples share one
+    # per-tile stream; pair p lattice-shifts every uniform by p/half in the
+    # bit domain (marginals unchanged, pairs stratified).
     half = S // 2 if antithetic else S
-    pltpu.prng_seed(seed_ref[0], i * S + s % half)
     mirror = (s >= half) if antithetic else None
+    strat = None
+    if antithetic == "stratified":
+        pltpu.prng_seed(seed_ref[0], i)
+        strat = (s % half, half)
+    else:
+        pltpu.prng_seed(seed_ref[0], i * S + s % half)
 
     a = a_ref[:]
     shape = a.shape
-    eps, s1, _ = _draw_eps_s1_s2(a, shape, mirror)
+    eps, s1, _ = _draw_eps_s1_s2(a, shape, mirror, strat)
     y, lq = _tile_fwd(a, b_ref[:], logb_ref[:], t0_ref[:], eps, s1)
     y_ref[0] = y
 
@@ -192,12 +232,17 @@ def _bwd_kernel(seed_ref, a_ref, b_ref, logb_ref, dg0_ref, glq_ref, gy_ref,
     i = pl.program_id(0)
     s = pl.program_id(1)
     half = S // 2 if antithetic else S
-    pltpu.prng_seed(seed_ref[0], i * S + s % half)  # replay forward stream
     mirror = (s >= half) if antithetic else None
+    strat = None
+    if antithetic == "stratified":
+        pltpu.prng_seed(seed_ref[0], i)     # replay forward stream
+        strat = (s % half, half)
+    else:
+        pltpu.prng_seed(seed_ref[0], i * S + s % half)
 
     a = a_ref[:]
     shape = a.shape
-    eps, s1, s2 = _draw_eps_s1_s2(a, shape, mirror)
+    eps, s1, s2 = _draw_eps_s1_s2(a, shape, mirror, strat)
     dy_da, dy_db, dlq_da, dlq_db = _tile_bwd(
         a, b_ref[:], logb_ref[:], dg0_ref[:], eps, s1, s2
     )
@@ -256,7 +301,10 @@ def fused_ig_sample_logq(a_flat, b_flat, seed, S, antithetic=False):
     seed: int32 scalar (traced ok); S: static sample count; antithetic:
     static — samples s and s+S/2 (S even) use mirrored base draws
     (U -> 1-U, hence eps -> -eps), keeping every marginal law while
-    negatively coupling the pairs (fit(antithetic=True)).
+    negatively coupling the pairs (fit(antithetic=True)). The value
+    'stratified' additionally lattice-couples the S/2 pairs: one base
+    stream per tile, pair p shifts every uniform by p/(S/2) in the bit
+    domain (fit(antithetic='stratified')).
     Returns: y (S, total) f32, logq (S,) f32 — logq is the summed
     IG-log-density minus the softplus forward-log-det-Jacobian, i.e. exactly
     the per-sample logq contribution of SurrogatePosterior._sample_igs.

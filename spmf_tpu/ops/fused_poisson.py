@@ -631,6 +631,17 @@ def _masks(i, j, B, D, K):
     return in_bounds, row_ok, col_ok
 
 
+def _row_axes(mesh, data_axis):
+    """Live row-sharding mesh axes as a tuple (or None): ``data_axis`` may
+    be one name ('dp') or a joint tuple (('dcn', 'dp') for multi-slice
+    meshes — rows shard over both; parallel.mesh.make_multislice_mesh)."""
+    names = (data_axis if isinstance(data_axis, (tuple, list))
+             else (data_axis,))
+    live = tuple(a for a in names
+                 if a in mesh.axis_names and mesh.shape[a] > 1)
+    return live or None
+
+
 def _prep(theta, v, phi, x, eta, codes=None):
     f32 = jnp.float32
     theta = jnp.asarray(theta, f32)
@@ -707,11 +718,11 @@ def fused_poisson_loglik_sharded(theta, v, phi, x, eta, mesh,
     if clip not in ("reference", "static"):
         raise ValueError(f"unknown clip mode {clip!r}")
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
-    dp = data_axis if data_axis in mesh.axis_names and mesh.shape[data_axis] > 1 else None
+    dp = _row_axes(mesh, data_axis)
     fp = (feature_axis
           if feature_axis in mesh.axis_names and mesh.shape[feature_axis] > 1
           else None)
-    axes = tuple(a for a in (dp, fp) if a is not None)
+    axes = (dp or ()) + ((fp,) if fp is not None else ())
     if not axes:
         return fused_poisson_loglik(theta, v, phi, x, eta, log_transform,
                                     interpret, likelihood, codes, clip)
@@ -819,8 +830,7 @@ def fused_poisson_row_loglik_sharded(theta, v, phi, x, eta, mesh,
 
     _check_likelihood(likelihood, codes)
     theta, v, phi, x, eta, codes = _prep(theta, v, phi, x, eta, codes)
-    dp = (data_axis if data_axis in mesh.axis_names
-          and mesh.shape[data_axis] > 1 else None)
+    dp = _row_axes(mesh, data_axis)
     fp = (feature_axis if feature_axis in mesh.axis_names
           and mesh.shape[feature_axis] > 1 else None)
     if dp is None and fp is None:

@@ -92,7 +92,51 @@ def _make_wh_reduce(boost: int):
 _WH_REDUCE = {b: _make_wh_reduce(b) for b in (_BOOST,)}
 
 
-def _mirror_base_draws(key, shape, dtype, boost):
+# Korobov-style generators for multi-uniform draws: when one logical draw
+# consumes SEVERAL uniforms (the WH gamma: 1 normal + 8 boost), giving each
+# its own lattice direction (u_jp = frac(u0_j + (p*g_j mod H)/H)) makes the
+# H pairs equidistribute over the joint torus instead of tracing a 1-D
+# lockstep curve. All generators are ODD (coprime with any power-of-2 H,
+# the practical sample counts) — marginals are exact either way.
+_LATTICE_GENS = (1, 3299, 4919, 6029, 2543, 7723, 1031, 5501, 6577)
+
+
+def lattice_uniform(key, half, shape, dtype, gens=None):
+    """``(half,) + shape`` uniforms stratified across the leading (pair)
+    axis: ONE 23-bit base draw per coordinate; pair ``p`` adds the lattice
+    shift ``round((p*g mod half) * 2^23 / half)`` in the bit domain (exact
+    — no f32 rounding of ``frac(u + p/half)`` near 1), then scales to
+    ``u = bits * 2^-23 + 2^-24``. Every u lies on the half-ulp-offset grid
+    ``[2^-24, 1 - 2^-24]``: log-safe, and ``1 - u`` is exactly
+    representable (mirror-safe) — the same grid the fused-IG kernel's
+    hardware RNG uses (ops/fused_ig.py _uniform_from_bits). Each pair's u
+    is marginally uniform (a randomly-shifted rank-1 lattice along the
+    pair axis), so estimators stay unbiased.
+
+    ``gens``: optional per-``shape[0]`` lattice generators (see
+    _LATTICE_GENS); default 1 for every coordinate."""
+    if half > 65536:
+        raise ValueError(f"lattice_uniform supports at most 65536 pairs, "
+                         f"got {half}")
+    bits = jax.random.bits(key, shape, jnp.uint32) >> 9      # 23 bits
+    H = max(half, 1)
+    p = jnp.arange(half, dtype=jnp.uint32).reshape(
+        (half,) + (1,) * len(shape))
+    if gens is not None:
+        g = jnp.asarray(gens, jnp.uint32).reshape(
+            (1, len(gens)) + (1,) * (len(shape) - 1))
+        p = (p * g) % jnp.uint32(H)
+    # floor(p * 2^23 / H) WITHOUT overflow: p*2^23 wraps uint32 for
+    # p > 511, so split the quotient — p*q + (p*r)//H with
+    # q = 2^23 // H, r = 2^23 % H (p*r < H^2 <= 2^32)
+    q, r = (1 << 23) // H, (1 << 23) % H
+    shifts = p * jnp.uint32(q) + (p * jnp.uint32(r)) // jnp.uint32(H)
+    b = (bits[None] + shifts) & jnp.uint32(0x7FFFFF)
+    return (b.astype(dtype) * jnp.asarray(2.0**-23, dtype)
+            + jnp.asarray(2.0**-24, dtype))
+
+
+def _mirror_base_draws(key, shape, dtype, boost, stratified=False):
     """Antithetic base randomness for the WH sampler: the leading axis of
     ``shape`` is the sample axis (must be even); the second half mirrors the
     first (eps -> -eps, U -> 1-U). Marginally each half follows the same
@@ -102,9 +146,27 @@ def _mirror_base_draws(key, shape, dtype, boost):
     S = shape[0]
     if S % 2:
         raise ValueError(f"antithetic sampling needs an even sample count, got {S}")
-    half = (S // 2,) + shape[1:]
+    H = S // 2
+    half = (H,) + shape[1:]
     kn, ku = jax.random.split(key)
     tiny = jnp.finfo(dtype).tiny
+    if stratified:
+        # pairs share ONE base draw per coordinate, lattice-shifted across
+        # the pair axis (u_p = frac(u0 + p/H) in exact bit arithmetic):
+        # marginally identical laws, pairs additionally stratified
+        from jax.scipy.special import ndtri
+
+        ue = lattice_uniform(kn, H, shape[1:], dtype)
+        eps_h = ndtri(ue)
+        eps = jnp.concatenate([eps_h, -eps_h], axis=0)
+        if boost == 0:
+            return eps, None
+        u_b = lattice_uniform(ku, H, (boost,) + shape[1:], dtype,
+                              gens=_LATTICE_GENS[1:boost + 1])
+        u_h = jnp.moveaxis(u_b, 0, 1)          # (boost, H) + rest
+        # the bit grid is symmetric about 1/2: 1-u is exact and >= 2^-24
+        u = jnp.concatenate([u_h, 1.0 - u_h], axis=1)
+        return eps, u
     eps_h = jax.random.normal(kn, half, dtype)
     eps = jnp.concatenate([eps_h, -eps_h], axis=0)
     if boost == 0:
@@ -127,7 +189,8 @@ def wilson_hilferty_gamma(key, concentration, boost: int = _BOOST,
     a = concentration
     dtype = jnp.result_type(a)
     if antithetic:
-        eps, u = _mirror_base_draws(key, jnp.shape(a), dtype, boost)
+        eps, u = _mirror_base_draws(key, jnp.shape(a), dtype, boost,
+                                    stratified=antithetic == "stratified")
     else:
         kn, ku = jax.random.split(key)
         eps = jax.random.normal(kn, jnp.shape(a), dtype)
@@ -149,8 +212,10 @@ def sample_gamma(key, concentration, method: str = "exact",
       backward primitive is very slow on TPU)
     - 'fast':  boosted Wilson–Hilferty pathwise sampler (above)
     ``antithetic`` (fast only): mirror the base draws across the leading
-    sample axis; 'exact' draws by rejection, which has no base randomness
-    to mirror.
+    sample axis; the value 'stratified' additionally lattice-couples the
+    pairs (one base draw per coordinate, pair p shifted by p/half — see
+    lattice_uniform). 'exact' draws by rejection, which has no base
+    randomness to mirror.
     """
     if method == "fast":
         return wilson_hilferty_gamma(key, concentration, antithetic=antithetic)

@@ -2,6 +2,7 @@ from .distributed import global_mesh, initialize_distributed, process_local_rows
 from .mesh import (
     data_parallel_mesh,
     make_mesh,
+    make_multislice_mesh,
     replicate,
     shard_batch,
     shard_params_feature_dim,
@@ -9,6 +10,7 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "data_parallel_mesh",
     "shard_batch",
     "replicate",

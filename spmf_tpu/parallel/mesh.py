@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "data_parallel_mesh",
     "shard_batch",
     "replicate",
@@ -38,6 +39,51 @@ def make_mesh(shape=None, axis_names=("dp",), devices=None) -> Mesh:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, axis_names)
+
+
+def make_multislice_mesh(ici_shape=None, ici_axis_names=("dp",),
+                         dcn_axis="dcn", devices=None) -> Mesh:
+    """Mesh for multi-slice TPU pods (SURVEY.md §5.8: "psum over ICI, and
+    DCN for multi-slice"): the OUTER ``dcn`` axis enumerates slices so that
+    only the data-parallel gradient psum crosses the data-center network,
+    while the inner ICI axes (dp/fp within a slice) carry the
+    bandwidth-hungry contraction collectives.
+
+    Devices are grouped by ``slice_index`` (real multi-slice TPU) or, when
+    absent, by ``process_index`` (CPU/multi-host stand-ins — a process
+    boundary is the DCN stand-in jax.distributed's Gloo backend provides,
+    tests/test_multiprocess.py). Each group reshapes to ``ici_shape``
+    (default: all of the slice's devices on the first ICI axis). The
+    engine shards batch rows over ``(dcn, dp)`` jointly and replicates
+    parameters over ``dcn`` — see vi/minibatch.py data_axis handling and
+    docs/API.md "Multi-slice (DCN) recipe"."""
+    devices = list(devices) if devices is not None else jax.devices()
+
+    def group_by(keyfn):
+        groups = {}
+        for d in devices:
+            groups.setdefault(keyfn(d), []).append(d)
+        return [groups[k] for k in sorted(groups)]
+
+    slices = (group_by(lambda d: d.slice_index)
+              if getattr(devices[0], "slice_index", None) is not None
+              else [])
+    if len(slices) <= 1:
+        # no real slice topology (CPU stand-ins report slice_index 0 for
+        # every device): a PROCESS is the slice stand-in — its boundary is
+        # where jax.distributed's collectives leave shared memory, the
+        # closest analogue of DCN available off-pod
+        slices = group_by(lambda d: d.process_index)
+    per = len(slices[0])
+    if any(len(s) != per for s in slices):
+        raise ValueError(
+            "multislice mesh needs equally-sized slices; got "
+            f"{[len(s) for s in slices]} devices per slice"
+        )
+    if ici_shape is None:
+        ici_shape = (per,) + (1,) * (len(ici_axis_names) - 1)
+    arr = np.asarray(slices).reshape((len(slices),) + tuple(ici_shape))
+    return Mesh(arr, (dcn_axis,) + tuple(ici_axis_names))
 
 
 def data_parallel_mesh(num_devices: Optional[int] = None) -> Mesh:

@@ -52,6 +52,19 @@ def _fp_axis(mesh):
     return None
 
 
+def _axes_tuple(data_axis):
+    """The row-sharding axis (or joint (dcn, dp) tuple) as a tuple."""
+    return data_axis if isinstance(data_axis, tuple) else (data_axis,)
+
+
+def _data_axis_size(mesh, data_axis):
+    """Total number of row shards (product over the joint row axes)."""
+    return int(np.prod([
+        mesh.shape[a] for a in _axes_tuple(data_axis)
+        if a in mesh.axis_names
+    ], dtype=np.int64))
+
+
 def _device_batch(batch, dtype, mesh, data_axis="dp", multihost=None):
     """Move a dict batch to device: rows sharded over ``data_axis``, and the
     feature (column) dim of 2-D arrays additionally sharded over ``fp`` when
@@ -69,7 +82,8 @@ def _device_batch(batch, dtype, mesh, data_axis="dp", multihost=None):
     if multihost is None:
         multihost = jax.process_count() > 1
     for k, v in batch.items():
-        if multihost and mesh is not None and data_axis in mesh.axis_names \
+        if multihost and mesh is not None and all(
+                a in mesh.axis_names for a in _axes_tuple(data_axis)) \
                 and np.ndim(v) >= 1:
             # slice the process-local rows HOST-side before any device
             # placement: materializing the full global batch on-device
@@ -216,7 +230,12 @@ def fit_surrogate_posterior(
     stays unbiased, but the pairs are negatively coupled, reducing
     gradient variance per sample (measured: docs/antithetic_experiment.json;
     requires a pathwise gamma sampler, i.e. not ``gamma_sampler='exact'``;
-    the fused IG kernel mirrors its in-kernel uniforms natively).
+    the fused IG kernel mirrors its in-kernel uniforms natively). The
+    value ``'stratified'`` additionally couples the S/2 pairs with a
+    randomly-shifted lattice of base uniforms (pair p shifts every
+    uniform by p/(S/2); exact bit-domain arithmetic, marginals unchanged
+    — ops.gamma.lattice_uniform): a no-op for S=2, measured variance
+    reduction for S>=4 (docs/stratified_experiment.json).
     ``prefetch`` sets how many batches the background assembly thread runs
     ahead of the device (0 disables threading). ``epoch_scan`` (default
     auto) runs each whole epoch as ONE jitted ``lax.scan`` dispatch when
@@ -343,6 +362,13 @@ def fit_surrogate_posterior(
 
         if "dp" not in mesh.axis_names:
             data_axis = mesh.axis_names[0]
+        if ("dcn" in mesh.axis_names and mesh.shape["dcn"] > 1
+                and data_axis != "dcn"):
+            # multi-slice layout (make_multislice_mesh): rows shard jointly
+            # over (dcn, dp) — the gradient psum's dcn leg is the only
+            # collective that crosses the data-center network; params
+            # replicate over dcn (fp contraction traffic stays intra-slice)
+            data_axis = ("dcn", data_axis)
         fp = _fp_axis(mesh)
         mode = param_sharding
         if mode == "auto":
@@ -494,17 +520,18 @@ def fit_surrogate_posterior(
         if isinstance(_src, DeviceArrayDataset) and eligible:
             _scan_ds = _src
         elif (isinstance(_src, DeviceSparseCounts) and eligible
-                and epoch_scan and not _mesh_nontrivial):
-            # sparse whole-epoch scan (OPT-IN, epoch_scan=True): the
-            # in-scan batch is assembled by the dataset's static-shape
-            # CSR->COO gather; per-batch nnz totals ride out of the scan
-            # for the overflow check. Unlike the dense case, auto does
-            # NOT engage: the general loop's eager assemble dispatches
-            # already pipeline behind the previous step, and the scan
-            # measured ~5% slower interleaved at the production sparse
-            # config (benchmarks/sparse_fit_ab.py: 66.7k vs 70.0k
-            # rows/sec). Meshed sparse training keeps the general loop
-            # (the COO energy shard_maps per batch there).
+                and epoch_scan is not False and not _mesh_nontrivial):
+            # sparse whole-epoch scan (AUTO since r5): the epoch's COO
+            # stream is decoded ONCE in-trace (DeviceSparseCounts epoch
+            # decode — scatter+cumsum run decode, no per-batch
+            # searchsorted) and each in-scan batch is three dynamic
+            # slices; per-batch nnz totals ride out of the scan for the
+            # overflow check. The r4 opt-in verdict (scan ~5% slower)
+            # measured the old per-batch in-scan assembly; with the
+            # epoch decode the scan wins (130.9k vs 125.7k rows/sec at
+            # B=8192, docs/sparse_bench.json r5). Meshed sparse training
+            # keeps the general loop (the COO energy shard_maps per
+            # batch there).
             _scan_ds = _src
             _sparse_scan = True
         elif epoch_scan:
@@ -581,8 +608,7 @@ def fit_surrogate_posterior(
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             _fp = _fp_axis(mesh)
-            _dp_n = mesh.shape[data_axis] if data_axis in mesh.axis_names \
-                else 1
+            _dp_n = _data_axis_size(mesh, data_axis)
 
             def _row_spec(nrows, arr):
                 axes = [None] * arr.ndim

@@ -315,12 +315,24 @@ class SurrogatePosterior:
             # per sample; the pair mean of loc-gradients cancels the odd
             # component of the integrand (variance reduction at no extra
             # draws). logq below is evaluated at the VALUES, so it is exact
-            # for the mirrored half too.
+            # for the mirrored half too. 'stratified' additionally couples
+            # the pairs with a randomly-shifted lattice of base uniforms
+            # (ops.gamma.lattice_uniform): each eps_p = ndtri(frac(u0+p/H))
+            # keeps the exact N(0,1) marginal while the H pairs stratify
+            # the 1-d integral each coordinate's gradient depends on.
             S = sample_shape[0]
             if len(sample_shape) != 1 or S % 2:
                 raise ValueError("antithetic sampling needs a 1-d even "
                                  f"sample shape, got {sample_shape}")
-            eps_h = jax.random.normal(key, (S // 2, total), self.dtype)
+            if antithetic == "stratified":
+                from jax.scipy.special import ndtri
+
+                from spmf_tpu.ops.gamma import lattice_uniform
+
+                eps_h = ndtri(
+                    lattice_uniform(key, S // 2, (total,), self.dtype))
+            else:
+                eps_h = jax.random.normal(key, (S // 2, total), self.dtype)
             eps = jnp.concatenate([eps_h, -eps_h], axis=0)
         else:
             eps = jax.random.normal(key, sample_shape + (total,), self.dtype)
@@ -396,7 +408,7 @@ class SurrogatePosterior:
         if self._ig_impl is not None:
             if antithetic:
                 return self._ig_impl(a_flat, b_flat, seed, S,
-                                     antithetic=True)
+                                     antithetic=antithetic)
             return self._ig_impl(a_flat, b_flat, seed, S)
         from spmf_tpu.ops.fused_ig import fused_ig_sample_logq
 

@@ -84,6 +84,29 @@ def main():
                rel_tol=None, sample_size=4, seed=0, verbose=False,
                resume_from=ckdir)
         result = m2.last_fit
+    elif mode == "pf_dcn":
+        # multi-slice (DCN) layout: make_multislice_mesh groups this CPU
+        # cluster's devices by PROCESS (the slice stand-in), so the outer
+        # dcn axis spans the two processes and the gradient psum's dcn leg
+        # crosses the process boundary — exactly the collective a v5e
+        # multi-slice pod routes over the data-center network
+        from spmf_tpu import PoissonFactorization
+        from spmf_tpu.parallel import make_multislice_mesh
+        from test_multiprocess import pf_problem
+
+        X, data = pf_problem()
+        mesh = make_multislice_mesh(ici_shape=(2,), ici_axis_names=("dp",))
+        assert mesh.axis_names == ("dcn", "dp")
+        assert mesh.shape["dcn"] == 2  # one slice group per process
+        model = PoissonFactorization(
+            latent_dim=2, feature_dim=X.shape[1], u_tau_scale=0.1,
+            dtype="float64", mesh=mesh,
+        )
+        losses = model.fit(
+            batched_data_factory=data, num_steps=2, learning_rate=0.05,
+            rel_tol=None, sample_size=4, seed=0, verbose=False,
+        )
+        result = model.last_fit
     elif mode == "pf_dpfp":
         # the flagship model over a dp x fp mesh spanning BOTH processes:
         # rows shard over dp, the feature dim of u/v/w/s over fp — the

@@ -763,3 +763,71 @@ def test_static_clip_composes_with_mesh():
     px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
     sx = np.asarray(st.unormalized_log_prob_parts(batch, **samples)["x"])
     np.testing.assert_allclose(sx, px, rtol=1e-6)
+
+
+def test_fit_routes_dcn_dp_fp_sharding_matches_single_device():
+    """Multi-slice (DCN) layout (SURVEY.md §5.8 "psum over ICI, and DCN
+    for multi-slice"): a ('dcn', 'dp', 'fp') mesh must train through the
+    public fit() with rows sharded jointly over (dcn, dp) and params
+    replicated over dcn, reproducing single-device losses."""
+    data = {"counts": X, "indices": np.arange(B)}
+
+    ref = _model()
+    ref_losses = ref.fit(batched_data_factory=data, num_steps=3,
+                         learning_rate=0.05, sample_size=S, seed=7,
+                         verbose=False, rel_tol=None)
+
+    mesh = make_mesh((2, 2, 2), ("dcn", "dp", "fp"))
+    m = PoissonFactorization(
+        latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+        scale_columns=False, mesh=mesh,
+    )
+    losses = m.fit(batched_data_factory=data, num_steps=3,
+                   learning_rate=0.05, sample_size=S, seed=7,
+                   verbose=False, rel_tol=None)
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-8)
+    # params stayed fp-sharded (and dcn-replicated) through the fit
+    spec = m.surrogate_params["u"]["loc"].sharding.spec
+    assert "fp" in str(spec) and "dcn" not in str(spec), spec
+
+
+def test_fused_likelihood_composes_with_dcn_mesh():
+    """The fused Pallas likelihood under a multi-slice mesh: rows shard
+    over the JOINT ('dcn', 'dp') axes (ops.fused_poisson._row_axes), the
+    psum spans dcn + dp + fp."""
+    mesh = make_mesh((2, 2, 2), ("dcn", "dp", "fp"))
+
+    def build(fused):
+        m = PoissonFactorization(
+            latent_dim=P, feature_dim=D, u_tau_scale=0.1, dtype="float64",
+            scale_columns=False, mesh=mesh, fused_likelihood=fused,
+        )
+        m._fused_interpret = True  # CPU: interpret-mode kernels
+        return m
+
+    ref = build(False)
+    fused = build(True)
+    assert fused._can_fuse(X.shape)
+    batch = {"counts": jnp.asarray(X), "indices": jnp.arange(B)}
+    key = jax.random.PRNGKey(2)
+    samples, _ = ref._surrogate.sample_and_log_prob(
+        ref.surrogate_params, key, (S,))
+    px = np.asarray(ref.unormalized_log_prob_parts(batch, **samples)["x"])
+    fx = np.asarray(fused.unormalized_log_prob_parts(batch, **samples)["x"])
+    np.testing.assert_allclose(fx, px, rtol=1e-5)
+
+    # a batch that does not divide dcn*dp shards is rejected with the
+    # actionable reason, not an opaque shard_map error
+    ok, reason = fused._fusion_check((B + 2, D))
+    assert not ok and "does not divide mesh axes" in reason
+
+
+def test_make_multislice_mesh_single_process_shape():
+    """Single process (one 'slice' group): the builder still yields a
+    well-formed (1, ici...) mesh usable by fit."""
+    from spmf_tpu.parallel import make_multislice_mesh
+
+    mesh = make_multislice_mesh(ici_shape=(4, 2), ici_axis_names=("dp", "fp"),
+                                devices=jax.devices()[:8])
+    assert mesh.axis_names == ("dcn", "dp", "fp")
+    assert mesh.shape["dcn"] == 1 and mesh.shape["dp"] == 4
