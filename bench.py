@@ -243,11 +243,18 @@ def main():
     # along as the labeled control.
     best_batch = 32768
     try:
-        rng = np.random.default_rng(0)
         import jax.numpy as jnp
 
-        X = jnp.asarray(
-            rng.poisson(1.0, size=(best_batch, D)).astype(np.float32))
+        # generate the operand ON DEVICE (r5): staging the 2.6 GB host
+        # array through the remote-device tunnel dominated bench wall time
+        # (>10 min for a ~60 s measurement, CLAUDE.md). Counts are
+        # Poisson(1) either way — same distribution, different stream;
+        # medians statistically identical (docs/bench_operand_overlap.json)
+        X = jax.jit(
+            lambda k: jax.random.poisson(
+                k, 1.0, (best_batch, D)).astype(jnp.float32)
+        )(jax.random.PRNGKey(0))
+        jax.block_until_ready(X)
         # The headline arm also takes likelihood_clip='static' — gradients
         # BIT-identical to the reference-clip default, losses identical on
         # every healthy batch, measured 1.073x interleaved

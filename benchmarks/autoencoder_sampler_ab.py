@@ -98,6 +98,10 @@ def main():
         "xla": make_arm(),
         "fused": make_arm(fused=True),
         "anti-s4": make_arm(s=4, antithetic=True),
+        # r5: lattice-stratified pairs (ops.gamma.lattice_uniform) — same
+        # step cost as anti-s4, strictly better cross-pair coupling; the
+        # question is whether it closes the 1.50x warm variance gap
+        "strat-s4": make_arm(s=4, antithetic="stratified"),
     }
 
     from _interleave import run_interleaved_arms
@@ -130,7 +134,8 @@ def main():
 
         return jax.jit(jax.grad(loss_fn))
 
-    grads = {"s8": make_grad(S, False), "anti-s4": make_grad(4, True)}
+    grads = {"s8": make_grad(S, False), "anti-s4": make_grad(4, True),
+             "strat-s4": make_grad(4, "stratified")}
 
     @jax.jit
     def warm_step(p, o, key):
@@ -161,10 +166,11 @@ def main():
                 for g in gs
             ]
             var[arm] = float(np.stack(flat).var(axis=0).mean())
-        ratio = var["anti-s4"] / var["s8"]
-        result["grad_var_ratio"][pt_name] = round(ratio, 4)
-        print(f"grad-var anti-s4/s8 @ {pt_name}: {ratio:.3f} "
-              f"(abs {var['anti-s4']:.3e} vs {var['s8']:.3e})", flush=True)
+        result["grad_var_ratio"][pt_name] = {
+            arm: round(var[arm] / var["s8"], 4) for arm in var
+        }
+        print(f"grad-var ratios vs s8 @ {pt_name}: "
+              f"{result['grad_var_ratio'][pt_name]}", flush=True)
 
     print(json.dumps(result))
     if args.out:

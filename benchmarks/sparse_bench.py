@@ -29,6 +29,14 @@ cross-process comparisons untrustworthy — CLAUDE.md):
                            work / zero per-batch H2D. The *-scan arms add
                            fit(epoch_scan=True): the entire epoch is ONE
                            jitted lax.scan dispatch.
+  device-blocked-*         r5 block-aligned layout (block_rows=128): each
+                           128-row block's triplets padded to one static
+                           width at BUILD time; epochs shuffle blocks,
+                           batches are one 2-D row gather, and the
+                           blocked energy replaces every per-nnz
+                           scatter/segment op with one fused table gather
+                           + one-hot MXU contractions
+                           (docs/sparse_epoch_decomp.json probes).
   device-scatter-dense     the same device assembly feeding the
                            dense-scatter + fused MXU path.
 Writes docs/sparse_bench.json; the headline value is the best arm.
@@ -120,6 +128,15 @@ ARMS = {
         8192, lambda: fresh_host(8192).to_device(), False, True),
     "device_coo_epoch_scan_b32768": (
         32768, lambda: fresh_host(32768).to_device(), False, True),
+    # r5 headline arm: block-aligned layout (to_device(block_rows=128)) +
+    # the blocked COO energy — one fused per-nnz table gather, every
+    # segment op a one-hot MXU contraction; epochs shuffle 128-row blocks
+    "device_blocked_b8192": (
+        8192, lambda: fresh_host(8192).to_device(block_rows=128),
+        False, None),
+    "device_blocked_b32768": (
+        32768, lambda: fresh_host(32768).to_device(block_rows=128),
+        False, None),
     "host_scatter_dense_b8192": (8192, lambda: fresh_host(8192), None, None),
     "device_scatter_dense_b8192": (
         8192, lambda: fresh_host(8192).to_device(), None, None),

@@ -157,12 +157,25 @@ class SparseCounts:
         self._pad_bs = None
         return self
 
-    def to_device(self, max_nnz=None, dtype=None):
+    def to_device(self, max_nnz=None, dtype=None, block_rows=None):
         """Move the whole CSR structure into device HBM
         (DeviceSparseCounts): per-batch COO assembly becomes one jitted
         on-device gather, eliminating the host-side repeat/cumsum/copy
         that serialized with the device step on a 1-core host (the r2
-        sparse-path bottleneck). Preserves shuffle/batch settings."""
+        sparse-path bottleneck). Preserves shuffle/batch settings.
+
+        ``block_rows=R`` (r5): build the BLOCK-ALIGNED layout instead —
+        rows are grouped into blocks of R CSR-adjacent rows, each block's
+        triplets padded to one static per-dataset width. Epochs then
+        shuffle BLOCKS (not individual rows): batch assembly is a single
+        tiny 2-D row gather, and the blocked COO energy replaces every
+        per-nnz scatter/segment op with MXU one-hot contractions
+        (models/poisson._coo_log_prob_parts_blocked). Trade-off: rows
+        that are CSR-adjacent within a block always share a batch —
+        statistically identical for row-exchangeable data, coarser
+        mixing when adjacent rows are correlated (shuffle the CSR row
+        order once at build time if so). ``num_rows % R`` trailing rows
+        are dropped (like drop_remainder)."""
         if max_nnz is None and self._pad_bs is None:
             # forward only a USER-supplied host pad (authoritative for any
             # batch size); an auto pad was sized for a specific batch size
@@ -171,7 +184,7 @@ class SparseCounts:
         return DeviceSparseCounts(
             self, batch_size=self._batch_size, shuffle=self._shuffle,
             seed=self._seed or 0, drop_remainder=self._drop_remainder,
-            max_nnz=max_nnz, dtype=dtype,
+            max_nnz=max_nnz, dtype=dtype, block_rows=block_rows,
         )
 
     def _coo_pad_size(self, bs):
@@ -254,7 +267,8 @@ class DeviceSparseCounts:
     """
 
     def __init__(self, sparse: SparseCounts, batch_size=None, shuffle=False,
-                 seed=0, drop_remainder=False, max_nnz=None, dtype=None):
+                 seed=0, drop_remainder=False, max_nnz=None, dtype=None,
+                 block_rows=None):
         import jax.numpy as jnp
 
         self._host = sparse
@@ -264,9 +278,13 @@ class DeviceSparseCounts:
         if dtype is None:
             dtype = jnp.float32
         self.dtype = dtype
-        self.indptr = jnp.asarray(sparse.indptr, jnp.int32)
-        self.indices = jnp.asarray(sparse.indices, jnp.int32)
-        self.data = jnp.asarray(sparse.data, dtype)
+        self.block_rows = int(block_rows) if block_rows else None
+        if self.block_rows:
+            self._build_blocked(sparse)
+        else:
+            self.indptr = jnp.asarray(sparse.indptr, jnp.int32)
+            self.indices = jnp.asarray(sparse.indices, jnp.int32)
+            self.data = jnp.asarray(sparse.data, dtype)
         self.extras = {k: jnp.asarray(v) for k, v in sparse.extras.items()}
         self._batch_size = batch_size
         self._shuffle = shuffle
@@ -276,6 +294,43 @@ class DeviceSparseCounts:
         self._pad_bs = None  # stays None for a user-supplied max_nnz
         self._epoch = 0
         self._pending_nnz = []
+
+    def _build_blocked(self, sparse):
+        """Block-aligned layout (to_device(block_rows=R) docstring): one
+        (n_blocks, NBLK) table per triplet component, each block's run
+        padded with exact no-ops (val 0, col 0, row_local R-1 — keeps the
+        within-block row sort). Built host-side once, vectorized."""
+        import jax.numpy as jnp
+
+        R = self.block_rows
+        nb = self.num_rows // R
+        if nb == 0:
+            raise ValueError(
+                f"block_rows={R} exceeds the dataset's {self.num_rows} rows")
+        indptr = sparse.indptr
+        blk_ptr = indptr[: nb * R + 1 : R]                  # (nb+1,)
+        blk_nnz = np.diff(blk_ptr)
+        nblk = int(-(-int(blk_nnz.max()) // 128) * 128)     # lane-aligned
+        total = int(blk_ptr[-1] - blk_ptr[0])
+        cols_blk = np.zeros((nb, nblk), np.int32)
+        vals_blk = np.zeros((nb, nblk), np.float64)
+        rowl_blk = np.full((nb, nblk), R - 1, np.int32)
+        out_blk = np.repeat(np.arange(nb), blk_nnz)
+        run_starts = np.cumsum(blk_nnz) - blk_nnz
+        off = np.arange(total) - np.repeat(run_starts, blk_nnz)
+        # block runs are contiguous in CSR position order, so source
+        # positions are simply blk_ptr[0] + arange(total)
+        src = np.arange(int(blk_ptr[0]), int(blk_ptr[0]) + total)
+        cols_blk[out_blk, off] = sparse.indices[src]
+        vals_blk[out_blk, off] = sparse.data[src]
+        rows_global = np.repeat(
+            np.arange(nb * R), np.diff(indptr[: nb * R + 1]))
+        rowl_blk[out_blk, off] = rows_global % R
+        self.n_blocks = nb
+        self.block_nnz = nblk
+        self.cols_blk = jnp.asarray(cols_blk)
+        self.vals_blk = jnp.asarray(vals_blk, self.dtype)
+        self.rowl_blk = jnp.asarray(rowl_blk)
 
     def shuffle(self, buffer_size=None, seed=None):
         self._shuffle = True
@@ -325,6 +380,64 @@ class DeviceSparseCounts:
         if fn is None:
             fn = cache[(pad, bs)] = self._make_assemble(pad, bs)
         return fn
+
+    # ------------------------------------------------- blocked batches (r5)
+    @staticmethod
+    def _blocked_take_math(tables, ids, R):
+        """Traced math: one batch of the block-aligned layout — a single
+        2-D row gather per component (ids: (Rb,) block ids). The flat
+        batch-local row of entry (j, n) is j*R + rowl[j, n] (sorted; pads
+        are exact no-ops: val 0, col 0, row_local R-1)."""
+        import jax.numpy as jnp
+
+        return {
+            "coo_cols": jnp.take(tables["cols"], ids, axis=0),
+            "coo_vals": jnp.take(tables["vals"], ids, axis=0),
+            "coo_rowl": jnp.take(tables["rowl"], ids, axis=0),
+            "indices": (ids[:, None].astype(jnp.int32) * R
+                        + jnp.arange(R, dtype=jnp.int32)).reshape(-1),
+        }
+
+    def _blocked_tables(self):
+        return {"cols": self.cols_blk, "vals": self.vals_blk,
+                "rowl": self.rowl_blk}
+
+    def _iter_blocked(self):
+        import jax
+        import jax.numpy as jnp
+
+        bs = self._batch_size or self.num_rows
+        R = self.block_rows
+        if bs % R:
+            raise ValueError(
+                f"batch size {bs} must be a multiple of block_rows={R}")
+        Rb = bs // R
+        n_use = (self.n_blocks // Rb) * Rb
+        dropped = self.num_rows - n_use * R
+        if dropped and not self._drop_remainder:
+            raise ValueError(
+                f"the blocked layout drops the {dropped}-row remainder "
+                f"(N={self.num_rows}, batch={bs}, block_rows={R}): pass "
+                "drop_remainder=True to batch() to accept this"
+            )
+        take = getattr(self, "_blocked_take_jit", None)
+        if take is None:
+            take = self._blocked_take_jit = jax.jit(
+                lambda tables, ids: self._blocked_take_math(
+                    tables, ids, R))
+        idx = np.arange(self.n_blocks)
+        if self._shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            self._epoch += 1
+            rng.shuffle(idx)
+        tables = self._blocked_tables()
+        for start in range(0, n_use, Rb):
+            ids = jnp.asarray(idx[start:start + Rb], jnp.int32)
+            batch = dict(take(tables, ids))
+            sl = batch["indices"]
+            for k, v in self.extras.items():
+                batch[k] = v[sl]
+            yield batch
 
     # ---------------------------------------------------- epoch decode (r5)
     @staticmethod
@@ -435,7 +548,10 @@ class DeviceSparseCounts:
     def check_overflow(self):
         """One host fetch for all accumulated per-batch nnz totals; raises
         if any batch exceeded the static pad (silently-truncated energy)."""
-        if not self._pending_nnz:
+        if self.block_rows or not self._pending_nnz:
+            # block-aligned layout: the pad is exact by construction
+            # (build-time), nothing can overflow
+            self._pending_nnz = []
             return
         # entries are per-batch scalars (iterator) and/or per-epoch arrays
         # (the engine's sparse whole-epoch scan); one fetch each
@@ -452,6 +568,9 @@ class DeviceSparseCounts:
     def __iter__(self):
         import jax.numpy as jnp
 
+        if self.block_rows:
+            yield from self._iter_blocked()
+            return
         bs = self._batch_size or self.num_rows
         n = self.num_rows
         # remainder batches would need their own row-count compile; this

@@ -292,6 +292,10 @@ def fit_surrogate_posterior(
     """
     say = print if verbose else (lambda *a, **k: None)
 
+    from spmf_tpu.utils.debug import warn_known_bad_sample_dim
+
+    warn_known_bad_sample_dim(sample_size, "sample_size")
+
     if decay_schedule == "reference":
         # trajectory-shape parity: the reference engine's observed plateau
         # decays are 0.05 -> 0.0466 -> 0.0421 (SURVEY.md §2.9), i.e. ~x0.93
@@ -544,12 +548,33 @@ def fit_surrogate_posterior(
             )
 
     run_epoch = None
+    _sparse_block = None
     if _scan_ds is not None:
         ds = _scan_ds
         n_rows_ds = ds.num_rows
         bs = int(ds._batch_size or n_rows_ds)
         nb = n_rows_ds // bs
-        if _sparse_scan:
+        if _sparse_scan and getattr(ds, "block_rows", None):
+            # block-aligned layout: batches are Rb whole blocks; the
+            # iterator contract (remainder rows dropped with opt-in)
+            # lives in _iter_blocked — reuse its validation
+            _sparse_block = int(ds.block_rows)
+            if bs % _sparse_block:
+                raise ValueError(
+                    f"batch size {bs} must be a multiple of "
+                    f"block_rows={_sparse_block}")
+            _Rb = bs // _sparse_block
+            nb = ds.n_blocks // _Rb
+            dropped = n_rows_ds - nb * bs
+            if dropped and not ds._drop_remainder:
+                raise ValueError(
+                    f"the blocked layout drops the {dropped}-row "
+                    f"remainder (N={n_rows_ds}, batch={bs}, block_rows="
+                    f"{_sparse_block}): pass drop_remainder=True to "
+                    "batch() to accept this"
+                )
+            rem = 0
+        elif _sparse_scan:
             # mirror the DeviceSparseCounts iterator contract: static
             # per-batch shapes mean the remainder is DROPPED, and only
             # with the caller's opt-in
@@ -577,7 +602,13 @@ def fit_surrogate_posterior(
         # reference; as arguments they are passed by device handle
         _cast = lambda v: (v.astype(dtype)  # noqa: E731
                            if jnp.issubdtype(v.dtype, jnp.floating) else v)
-        if _sparse_scan:
+        if _sparse_block:
+            ds_tensors = {
+                "blk": {"cols": ds.cols_blk, "vals": _cast(ds.vals_blk),
+                        "rowl": ds.rowl_blk},
+                "extras": {k: _cast(v) for k, v in ds.extras.items()},
+            }
+        elif _sparse_scan:
             _coo_pad = ds._pad(bs)
             ds_tensors = {
                 "csr": {"indptr": ds.indptr, "cols": ds.indices,
@@ -638,11 +669,18 @@ def fit_surrogate_posterior(
             cannot be overflow-checked in-trace without a host sync, so
             the totals ride out for DeviceSparseCounts.check_overflow."""
             perm_key, step_key = jax.random.split(key)
-            idx = (jax.random.permutation(perm_key, n_rows_ds)
-                   if do_shuffle else jnp.arange(n_rows_ds))
+            if _sparse_block:
+                # block-aligned: shuffle BLOCK ids; each batch is one
+                # tiny 2-D row gather of the aligned tables
+                idx = (jax.random.permutation(perm_key, ds.n_blocks)
+                       if do_shuffle
+                       else jnp.arange(ds.n_blocks)).astype(jnp.int32)
+            else:
+                idx = (jax.random.permutation(perm_key, n_rows_ds)
+                       if do_shuffle else jnp.arange(n_rows_ds))
 
             _ep = None
-            if _sparse_scan:
+            if _sparse_scan and not _sparse_block:
                 # decode the WHOLE shuffled epoch's COO stream ONCE
                 # (static size = total nnz; scatter+cumsum run decode) —
                 # each in-scan batch is then three dynamic slices instead
@@ -654,6 +692,15 @@ def fit_surrogate_posterior(
                     idx[:nb * bs].astype(jnp.int32), _coo_pad)
 
             def gather(start, size):
+                if _sparse_block:
+                    ids = jax.lax.dynamic_slice_in_dim(
+                        idx, (start // bs) * _Rb, _Rb)
+                    b = dict(type(ds)._blocked_take_math(
+                        tensors["blk"], ids, _sparse_block))
+                    sl = b["indices"]
+                    for k, v in tensors["extras"].items():
+                        b[k] = jnp.take(v, sl, axis=0)
+                    return b, jnp.zeros((), jnp.int32)
                 if _sparse_scan:
                     b = dict(type(ds)._epoch_take_math(
                         _ep, start // bs, bs, _coo_pad))

@@ -26,7 +26,11 @@ the Pallas kernels were exonerated (pure-XLA path reproduces, and the
 row kernel matches XLA at 4e-7 for S=10 standalone). ``waic`` also
 warns when a log-likelihood block is non-finite, so a future
 recurrence (or a genuinely degenerate model) is loud instead of a
-silent NaN result.
+silent NaN result. Fencing (r5): requesting a known-bad dim warns
+upfront (utils.debug.warn_known_bad_sample_dim — fit(sample_size=10)
+gets the same guard), and the bug is pinned by a TPU-backend
+regression test that fails the day the stack fixes it
+(tests/test_tpu_env.py::TestS10EncodeMiscompile).
 """
 from __future__ import annotations
 
@@ -89,6 +93,9 @@ def waic(
     sample_chunk: int = 8,
 ) -> dict:
     sample_chunk = min(sample_chunk, num_samples)
+    from spmf_tpu.utils.debug import warn_known_bad_sample_dim
+
+    warn_known_bad_sample_dim(sample_chunk, "sample_chunk")
     n_chunks = num_samples // sample_chunk
     residual = num_samples - n_chunks * sample_chunk
 

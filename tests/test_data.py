@@ -489,3 +489,94 @@ def test_as_coo_user_pad_overrides_stale_auto_pad():
     sp.as_coo(max_nnz=65536).batch(32)
     assert sp._coo_pad_size(32) == 65536
     assert sp._coo_pad_size(8) == 65536
+
+
+def test_blocked_layout_matches_host_coo_content():
+    """to_device(block_rows=R): every yielded blocked batch must contain
+    exactly the rows' triplets (pads exact no-ops: val 0, col 0,
+    row_local R-1), and the flat adapter view must reproduce the dense
+    rows."""
+    from spmf_tpu.models.poisson import PoissonFactorization
+
+    dense = RNG.poisson(0.5, (48, 12)).astype(float)
+    dev = SparseCounts.from_dense(dense).batch(16, drop_remainder=True) \
+        .to_device(dtype=np.float64, block_rows=8)
+    assert dev.n_blocks == 6 and dev.block_nnz % 128 == 0
+    n_batches = 0
+    for b in dev:
+        idx = np.asarray(b["indices"])
+        flat = PoissonFactorization._flatten_blocked_coo(b)
+        rows = np.asarray(flat["coo_rows"])
+        cols = np.asarray(flat["coo_cols"])
+        vals = np.asarray(flat["coo_vals"])
+        rebuilt = np.zeros((16, 12))
+        np.add.at(rebuilt, (rows, cols), vals)
+        np.testing.assert_allclose(rebuilt, dense[idx])
+        # rows sorted (the blocked energy's one-hot math assumes it)
+        assert (np.diff(rows) >= 0).all()
+        n_batches += 1
+    assert n_batches == 3
+
+
+def test_blocked_layout_refuses_silent_remainder_drop():
+    dense = RNG.poisson(0.5, (50, 8)).astype(float)
+    dev = SparseCounts.from_dense(dense).batch(16).to_device(block_rows=8)
+    with pytest.raises(ValueError, match="drops the 2-row remainder"):
+        next(iter(dev))
+    with pytest.raises(ValueError, match="multiple of block_rows"):
+        next(iter(SparseCounts.from_dense(dense).batch(12,
+             drop_remainder=True).to_device(block_rows=8)))
+
+
+def test_blocked_fit_and_scorer(tmp_path):
+    """Blocked batches train through the public fit (scan path) and score
+    through waic/log_likelihood (flattened adapter)."""
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.4, (192, 16)).astype(float)
+    dev = SparseCounts.from_dense(dense).shuffle(seed=3) \
+        .batch(48, drop_remainder=True).to_device(dtype=np.float64,
+                                                  block_rows=8)
+    m = PoissonFactorization(latent_dim=3, feature_dim=16, u_tau_scale=0.1,
+                             dtype="float64", data=dev,
+                             sparse_dense_scatter=False)
+    losses = m.fit(batched_data_factory=dev, num_steps=3, learning_rate=0.1,
+                   sample_size=4, verbose=False, rel_tol=None)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert m.last_fit.extras.get("epoch_scan") is True
+    ll = m.log_likelihood(dev, num_samples=4, sample_chunk=2)
+    assert np.isfinite(ll["total"])
+
+
+def test_blocked_energy_matches_dense_energy():
+    """The blocked COO energy (one-hot MXU contractions + fused table
+    gather) must reproduce the dense energy exactly, for both decode
+    links and both row scalings."""
+    import jax
+    import jax.numpy as jnp
+
+    from spmf_tpu import PoissonFactorization
+
+    dense = RNG.poisson(0.6, (64, 24)).astype(float)
+    dev = SparseCounts.from_dense(dense).shuffle(seed=1) \
+        .batch(16, drop_remainder=True).to_device(dtype=np.float64,
+                                                  block_rows=8)
+    for log_t in (False, True):
+        for scale_rows in (False, True):
+            m = PoissonFactorization(
+                latent_dim=3, feature_dim=24, u_tau_scale=0.1,
+                dtype="float64", scale_columns=True, scale_rows=scale_rows,
+                log_transform=log_t,
+                data={"counts": dense, "indices": np.arange(64)})
+            samples, _ = m._surrogate.sample_and_log_prob(
+                m.surrogate_params, jax.random.PRNGKey(2), (4,))
+            batch = next(iter(dev))
+            idx = np.asarray(batch["indices"])
+            dense_batch = {"counts": jnp.asarray(dense[idx]),
+                           "indices": jnp.asarray(idx)}
+            lp_b = m.unormalized_log_prob(data=batch, **samples)
+            assert "blocked" in m.fusion_inactive_reason
+            lp_d = m.unormalized_log_prob(data=dense_batch, **samples)
+            np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_d),
+                                       rtol=1e-9)

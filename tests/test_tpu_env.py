@@ -13,3 +13,46 @@ class TestTPUAvailable(unittest.TestCase):
         except RuntimeError:
             self.skipTest("no TPU platform in this process (CPU test backend)")
         self.assertGreater(len(devices), 0)
+
+
+class TestS10EncodeMiscompile(unittest.TestCase):
+    def test_s10_encode_miscompile_pin(self):
+        """Regression pin for the XLA:TPU S=10 miscompile (r4/r5,
+        tools/xla_s10_repro.py): the jitted sample->encode graph at
+        sample dim 10 on the production shape emits negative encode
+        outputs from non-negative operands on this jax/libtpu stack.
+        The pin asserts the repro's verdict MATCHES the known-bad table
+        (utils.debug._KNOWN_BAD_TPU_SAMPLE_DIMS) — so the suite stays
+        green while the bug exists AND fails loudly the day the stack
+        fixes it (then: drop 10 from the table, this docstring, and the
+        vi/waic.py sample_chunk note). Skipped on the CPU test backend,
+        where the bug does not fire."""
+        try:
+            jax.devices("tpu")
+        except RuntimeError:
+            self.skipTest("no TPU platform in this process (CPU test backend)")
+        import os
+        import subprocess
+        import sys
+
+        from spmf_tpu.utils.debug import _KNOWN_BAD_TPU_SAMPLE_DIMS
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # subprocess: the repro must run on the TPU backend, while this
+        # suite's conftest pins the current process to CPU
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "xla_s10_repro.py"),
+             "-S", "10"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        bug_present = proc.returncode == 1
+        documented = 10 in _KNOWN_BAD_TPU_SAMPLE_DIMS
+        self.assertEqual(
+            bug_present, documented,
+            ("the XLA:TPU stack FIXED the S=10 miscompile — remove 10 from "
+             "utils.debug._KNOWN_BAD_TPU_SAMPLE_DIMS"
+             if documented else
+             "S=10 miscompile REAPPEARED — re-add 10 to "
+             "utils.debug._KNOWN_BAD_TPU_SAMPLE_DIMS")
+            + ":\n" + proc.stdout[-2000:] + proc.stderr[-2000:],
+        )
