@@ -33,6 +33,13 @@ def main():
                     help="train on padded COO triplets (device-side sparse "
                          "energy; never densifies row slabs — for matrices "
                          "too wide/tall to slab through host RAM)")
+    ap.add_argument("--block-rows", type=int, default=None,
+                    help="with --sparse on an accelerator: use the "
+                         "block-aligned device layout (e.g. 128; batch "
+                         "size must be a multiple). Fastest sparse path "
+                         "(~1.8x, docs/sparse_bench.json) — epochs "
+                         "shuffle row BLOCKS, so shuffle your cell order "
+                         "once beforehand if it is structured")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard minibatch rows (or COO triplets with "
                          "--sparse) over all local devices via a dp mesh "
@@ -113,6 +120,10 @@ def main():
             .batch(BATCH_SIZE, drop_remainder=True)
             .as_coo()
         )
+        if args.block_rows:
+            # block-aligned device layout: the fastest sparse path
+            # (one 2-D gather per batch, one-hot MXU energy)
+            data = data.to_device(block_rows=args.block_rows)
     else:
         data = (
             ArrayDataset(
