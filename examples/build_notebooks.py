@@ -62,19 +62,29 @@ NOISE = [
          "data = ArrayDataset.from_tensor_slices(\n"
          "    {\"counts\": np.random.default_rng(0).poisson(1.0, size=(N, D)),\n"
          "     \"indices\": np.arange(N)}\n"
-         ").batch(1000)"),
+         ").batch(1000).to_device()"),
     md("The input is an `ArrayDataset` batched to 1000 rows — the\n"
        "spmf-tpu analogue of the reference's `tf.data.Dataset\n"
        ".from_tensor_slices(...).batch(1000)` (same keys, same batch\n"
-       "semantics; the engine consumes any factory of dict batches)."),
+       "semantics; the engine consumes any factory of dict batches).\n"
+       "`.to_device()` keeps the count matrix resident in device HBM so\n"
+       "each epoch runs as ONE jitted scan dispatch (the TPU-native\n"
+       "production layout — every per-batch host round-trip removed)."),
     md("# Set up the inference object"),
     code("factor = PoissonMatrixFactorization(\n"
          "    data, latent_dim=P, strategy=None,\n"
          "    u_tau_scale=1.0 / np.sqrt(D * N),\n"
          ")"),
-    md("# Inference"),
+    md("# Inference\n\n"
+       "`decay_schedule='reference'` reproduces the reference engine's\n"
+       "observed plateau decay (~x0.93 per plateau — SURVEY.md §2.9):\n"
+       "with the default gentler decay, long runs on pure noise can\n"
+       "eventually escape the shrunk optimum and start fitting noise\n"
+       "(a legitimately lower training loss the reference's faster\n"
+       "decay never reaches)."),
     code("losses = factor.calibrate_advi(\n"
-         "    num_steps=200, rel_tol=1e-4, learning_rate=.05)"),
+         "    num_steps=200, rel_tol=1e-4, learning_rate=.05,\n"
+         "    decay_schedule='reference')"),
     md("# Compute the WAIC\n\n"
        "The reference notebook's cell 9 records\n"
        "`waic = 345148.5, pwaic = 135483.3, lppd = -37090.95` — the\n"
@@ -130,7 +140,7 @@ LINEAR = [
        "`notebooks/factorize_linear_structure.ipynb` cells 1-2)."),
     code(_GEN_LIN.format(z_loc=0, z_scale=1, signal="ZV")),
     code("data = ArrayDataset({\"counts\": X, \"indices\": np.arange(N)})"
-         ".batch(1000)"),
+         ".batch(1000).to_device()"),
     code("factor = PoissonMatrixFactorization(\n"
          "    data, latent_dim=P, strategy=None,\n"
          "    u_tau_scale=1.0 / np.sqrt(D * N),\n"
@@ -166,7 +176,7 @@ NONLINEAR = [
         z_loc=0.5, z_scale=1.0,
         signal="ZV * np.exp(ZV / ZV.mean() / 10) + (ZV / ZV.mean() / 10) ** 2")),
     code("data = ArrayDataset({\"counts\": X, \"indices\": np.arange(N)})"
-         ".batch(10000)"),
+         ".batch(10000).to_device()"),
     code("factor = PoissonMatrixFactorization(\n"
          "    data, latent_dim=P, strategy=None,\n"
          "    u_tau_scale=1.0 / np.sqrt(D * N),\n"
@@ -211,7 +221,8 @@ SIMFIG = [
        "compared side by side."),
     code("def fit(X, steps={steps}):\n"
          "    data = ArrayDataset({{\"data\": X, \"indices\": np.arange(N),\n"
-         "                          \"normalization\": np.ones(N)}}).batch(1000)\n"
+         "                          \"normalization\": np.ones(N)}}"
+         ").batch(1000).to_device()\n"
          "    factor = PoissonMatrixFactorization(\n"
          "        data, latent_dim=P, strategy=None, scale_rates=True,\n"
          "        with_s=True, u_tau_scale=1.0 / np.sqrt(D * N))\n"
@@ -277,7 +288,8 @@ RNASEQ = [
          "data = ArrayDataset(\n"
          "    {\"data\": X, \"indices\": np.arange(N),\n"
          "     \"normalization\": row_size_factors}\n"
-         ").shuffle(buffer_size=N).batch(BATCH_SIZE, drop_remainder=True)\n\n"
+         ").shuffle(buffer_size=N).batch(BATCH_SIZE, drop_remainder=True)"
+         ".to_device()\n\n"
          "factor = PoissonMatrixFactorization(\n"
          "    data, latent_dim=P, strategy=None, scale_rates=True,\n"
          "    column_norms=col_norm, log_transform=True,\n"
