@@ -68,7 +68,7 @@ def main():
     x_dev = jnp.asarray(X)
     opt = optax.chain(optax.clip(5.0), optax.adam(0.01))
 
-    def make_arm(fused=False, s=S, antithetic=False):
+    def make_arm(fused=False, s=S, antithetic=False, pervar_logq=False):
         model = PoissonAutoencoder(
             {"counts": X, "indices": np.arange(args.batch)},
             latent_dim=args.p, dtype="float32",
@@ -79,8 +79,13 @@ def main():
             sur.fused_normals = True
 
         def loss_fn(p, key):
+            # pervar_logq: forces the pre-r5 per-variable Normal.log_prob
+            # route by passing the LIVE params as logq_params (identical
+            # math + gradients — vi/surrogates.py eps-form docstring; the
+            # eps_logq fast path requires logq_params is None)
             samples, logq = sur.sample_and_log_prob(
-                p, key, (s,), antithetic=antithetic)
+                p, key, (s,), antithetic=antithetic,
+                logq_params=p if pervar_logq else None)
             lp = model.unormalized_log_prob(data={"counts": x_dev}, **samples)
             return -jnp.mean(lp - logq) / args.batch
 
@@ -96,6 +101,7 @@ def main():
 
     arms = {
         "xla": make_arm(),
+        "pervar-logq": make_arm(pervar_logq=True),
         "fused": make_arm(fused=True),
         "anti-s4": make_arm(s=4, antithetic=True),
         # r5: lattice-stratified pairs (ops.gamma.lattice_uniform) — same

@@ -336,6 +336,27 @@ class SurrogatePosterior:
             eps = jnp.concatenate([eps_h, -eps_h], axis=0)
         else:
             eps = jax.random.normal(key, sample_shape + (total,), self.dtype)
+        # eps-form logq (r5): at the reparameterized sample x = loc+scale*eps
+        # the mean-field normal density is EXACTLY
+        #   log q(x) = -0.5*eps^2 - log(scale) - 0.5*log(2*pi)
+        # per coordinate — including its gradients wrt (loc, raw_scale): the
+        # direct dependence and the dependence through x cancel analytically
+        # for the quadratic term. One fused reduction over the flat eps
+        # replaces a per-variable log_prob pass over every (S, size) block,
+        # and the backward shrinks from O(S*total) to O(total) (the eps^2
+        # term is constant wrt params). Interleaved TPU A/B on the
+        # autoencoder step (D=2000, B=1024, S=8): 28.75 vs 32.79 ms/step
+        # for the per-variable route — 1.14x end-to-end, identical math
+        # (docs/autoencoder_sampler_ab.json; equivalence pinned at 1e-10
+        # in tests/test_antithetic.py::test_eps_form_logq_matches_*).
+        # Requires the density params to be the live sample params (not
+        # STL) and fully summed events; bijector corrections stay
+        # per-variable.
+        eps_logq = logq_params is None and all(
+            self.surrogates[n].event_ndims == len(self.surrogates[n].shape)
+            for n in names
+        )
+        scale_logsum = 0.0
         off = 0
         for n in names:
             s = self.surrogates[n]
@@ -346,6 +367,14 @@ class SurrogatePosterior:
             loc = p["loc"]
             scale = _softplus.forward(p["raw_scale"])
             x = loc + scale * e
+            if eps_logq:
+                scale_logsum = scale_logsum + jnp.sum(jnp.log(scale))
+                if not isinstance(s.bijector, tfb.Identity):
+                    logq = logq - _sum_event(
+                        s.bijector.forward_log_det_jacobian(x), s.event_ndims
+                    )
+                values[n] = s.bijector.forward(x)
+                continue
             # STL (logq_params): density parameters come from the stopped
             # pytree while the sample path stays live — evaluated HERE in
             # pre-bijector space (a constrained-space inverse would clamp
@@ -360,6 +389,12 @@ class SurrogatePosterior:
             )
             values[n] = s.bijector.forward(x)
             logq = logq + lp
+        if eps_logq:
+            logq = logq + (
+                -0.5 * jnp.sum(eps * eps, axis=-1)
+                - scale_logsum
+                - 0.5 * total * np.log(2.0 * np.pi)
+            )
         return values, logq
 
     def _fp_size(self):

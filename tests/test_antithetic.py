@@ -369,3 +369,45 @@ def test_model_fit_forwards_stratified():
                    rel_tol=None)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("antithetic", [False, True, "stratified"])
+def test_eps_form_logq_matches_per_variable_density(antithetic):
+    """The r5 eps-form logq fast path (surrogates.py _sample_normals:
+    log q(x) = -eps^2/2 - log(scale) - log(2*pi)/2 summed over the flat
+    draw) must match the per-variable Normal.log_prob route — values,
+    logq, AND parameter gradients — at machine precision in f64. The
+    per-variable route is forced by passing the LIVE params as
+    logq_params (identical math: the density pytree is the sample
+    pytree, so gradients flow through both)."""
+    sur = _mixed_surrogate()
+    params = sur.init()
+    key = jax.random.PRNGKey(3)
+    S = 4
+
+    def run(p, force_pervar):
+        return sur.sample_and_log_prob(
+            p, key, (S,), antithetic=antithetic,
+            logq_params=p if force_pervar else None)
+
+    va, lqa = run(params, False)
+    vb, lqb = run(params, True)
+    for n in va:
+        np.testing.assert_allclose(np.asarray(va[n]), np.asarray(vb[n]),
+                                   rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lqa), np.asarray(lqb),
+                               rtol=1e-11, atol=1e-11)
+
+    def scalar(p, force_pervar):
+        values, logq = run(p, force_pervar)
+        return (jnp.sum(logq)
+                + sum(jnp.sum(v * (i + 1.0))
+                      for i, v in enumerate(values.values())))
+
+    ga = jax.grad(scalar)(params, False)
+    gb = jax.grad(scalar)(params, True)
+    fa = jax.tree_util.tree_leaves(ga)
+    fb = jax.tree_util.tree_leaves(gb)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10)

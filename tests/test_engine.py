@@ -565,13 +565,13 @@ def test_epoch_chunk_matches_single_epoch_trajectory():
 
 
 def test_sparse_epoch_scan_path():
-    """The whole-epoch scan over a DeviceSparseCounts source (r4,
-    OPT-IN): per-batch padded-COO assembly runs INSIDE lax.scan via the
-    dataset's static-shape CSR gather. Auto must NOT engage it (the
-    general loop's pipelined eager assembles measured faster —
-    benchmarks/sparse_fit_ab.py); with epoch_scan=True it must train to
-    the general loop's neighborhood, epoch_chunk must be
-    trajectory-identical (f64) riding the same machinery, and the
+    """The whole-epoch scan over a DeviceSparseCounts source (AUTO since
+    r5): the epoch's COO stream is decoded once in-trace and per-batch
+    assembly runs INSIDE lax.scan as dynamic slices. Auto must engage it
+    on a single process / trivial mesh (the epoch decode made the scan
+    faster than the general loop — minibatch.py:528, sparse_bench r5);
+    epoch_scan=False must opt back out; epoch_chunk must be
+    trajectory-identical (f64) riding the same machinery; and the
     static-pad overflow audit must still fire (the totals leave the
     scan as an array)."""
     import pytest
@@ -598,9 +598,11 @@ def test_sparse_epoch_scan_path():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
 
-    # the auto default stays the general loop for sparse sources
+    # auto engages the sparse scan (r5 default); epoch_scan=False opts out
     m_g, losses_g = run()
-    assert m_g.last_fit.extras["epoch_scan"] is False
+    assert m_g.last_fit.extras["epoch_scan"] is True
+    m_off, _ = run(epoch_scan=False)
+    assert m_off.last_fit.extras["epoch_scan"] is False
     # same optimum neighborhood (independent shuffle streams by design —
     # statistical agreement)
     np.testing.assert_allclose(losses[-1], losses_g[-1],

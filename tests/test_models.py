@@ -483,7 +483,8 @@ def test_fusion_fallback_warns_once_with_reason():
         assert not m._can_fuse(batch_shape=(7, 5))  # second call: no new warning
     assert len(caught) == 1
     assert "falling back to the XLA path" in str(caught[0].message)
-    assert "does not divide mesh axis 'dp'" in m.fusion_inactive_reason
+    # r5 multi-slice support reports the joint row-axis tuple
+    assert "does not divide mesh axes ('dp',)" in m.fusion_inactive_reason
 
     # CPU default (fused_likelihood=False) stays silent
     m2 = PoissonFactorization(
