@@ -37,8 +37,8 @@ def warn_known_bad_sample_dim(s, context):
             f"{context}={s} is a KNOWN-BAD sample dim on this XLA:TPU "
             "stack: the jitted sample->encode graph miscompiles (negative "
             "encode outputs from positive operands -> NaN likelihoods; "
-            "tools/xla_s10_repro.py). Use a power-of-two dim (8, 16) or "
-            "12/20 instead.",
+            "tools/xla_s10_repro.py, isolation record docs/xla_s10/). "
+            "Use a power-of-two dim (8, 16) or 12/20 instead.",
             UserWarning,
             stacklevel=3,
         )
